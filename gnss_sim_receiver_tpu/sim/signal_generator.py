@@ -1,0 +1,137 @@
+"""Multi-satellite GNSS baseband signal synthesizer.
+
+Test-fixture equivalent of the reference's in-tree ``SignalGenerator`` block
+(src/algorithms/signal_generator/gnuradio_blocks/signal_generator_c.cc) and
+the external gnss-sim/bladeGPS simulators, with the same per-satellite
+parameterization (signal_generator.cc:55-80: PRN / CN0 / doppler / delay).
+
+Numerics note: phase/chip indices are computed in float64 on the host —
+sub-meter pseudorange truth over 100+ s requires ~1e-9 s timing fidelity,
+beyond float32.  This is a fixture path, not a receiver hot path; generation
+is vectorized NumPy and chunked so arbitrarily long captures stream to disk.
+
+Signal model per satellite (constant Doppler + optional rate):
+  transmit time   tau(t) = t - delay(t),
+  delay(t)        = delay0 - (f_d/f_c) t - (f_dr/f_c) t^2/2
+  code chip index = floor(tau * code_rate) mod L        (code Doppler implied)
+  nav bit index   = floor(tau / bit_period) mod n_bits
+  carrier         = exp(j(2 pi (f_d t + f_dr t^2/2) + phi0))
+  amplitude       = sqrt(10^(CN0/10) / fs)   with unit complex noise variance
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from gnss_sim_receiver_tpu import constants
+from gnss_sim_receiver_tpu.ops import prn_codes
+from gnss_sim_receiver_tpu.utils import sample_io
+
+
+@dataclasses.dataclass
+class SatelliteSignalParams:
+    """One simulated satellite signal (reference SignalSource.{PRN_i, CN0_dB_i,
+    doppler_Hz_i, delay_chips_i, delay_sec_i} parameter set)."""
+    prn: int
+    cn0_db_hz: float = 44.0
+    doppler_hz: float = 0.0
+    doppler_rate_hz_s: float = 0.0
+    delay_chips: float = 0.0
+    delay_sec: float = 0.0
+    carrier_phase_rad: float = 0.0
+    nav_bits: np.ndarray | None = None   # +-1 at 50 bps; None -> random
+    system: str = "GPS"
+    signal: str = "1C"
+
+
+def cn0_to_amplitude(cn0_db_hz: float, fs: float) -> float:
+    """Signal amplitude giving the requested C/N0 against unit-variance
+    complex noise sampled at fs (N0 = 1/fs)."""
+    return float(np.sqrt(10.0 ** (cn0_db_hz / 10.0) / fs))
+
+
+def _sat_signal_block(sat: SatelliteSignalParams, fs: float, t: np.ndarray,
+                      rng: np.random.Generator) -> np.ndarray:
+    if sat.system != "GPS" or sat.signal != "1C":
+        raise NotImplementedError(
+            f"simulator signal {sat.system}/{sat.signal} not yet supported")
+    f_c = constants.GPS_L1_FREQ_HZ
+    code_rate = constants.GPS_L1_CA_CODE_RATE_CPS
+    code = prn_codes.gps_l1_ca_code(sat.prn).astype(np.float64)
+
+    delay0 = sat.delay_sec + sat.delay_chips / code_rate
+    delay = delay0 - (sat.doppler_hz / f_c) * t \
+        - (sat.doppler_rate_hz_s / f_c) * t * t / 2.0
+    tau = t - delay
+
+    chip = np.floor(tau * code_rate).astype(np.int64)
+    chips_per_bit = (constants.GPS_L1_CA_CODE_LENGTH_CHIPS
+                     * constants.GPS_L1_CA_CODES_PER_BIT)
+    code_vals = code[np.mod(chip, constants.GPS_L1_CA_CODE_LENGTH_CHIPS)]
+
+    if sat.nav_bits is None:
+        sat.nav_bits = (rng.integers(0, 2, 1500) * 2 - 1).astype(np.int8)
+    bits = np.asarray(sat.nav_bits, dtype=np.float64)
+    bit_idx = np.mod(np.floor_divide(chip, chips_per_bit), len(bits))
+    bit_vals = bits[bit_idx]
+
+    phase = (2.0 * np.pi * (sat.doppler_hz * t
+                            + sat.doppler_rate_hz_s * t * t / 2.0)
+             + sat.carrier_phase_rad)
+    amp = cn0_to_amplitude(sat.cn0_db_hz, fs)
+    return (amp * code_vals * bit_vals * np.exp(1j * phase)).astype(np.complex64)
+
+
+def generate_baseband(sats: list[SatelliteSignalParams], fs: float,
+                      n_samples: int, *, start_sample: int = 0,
+                      noise: bool = True, seed: int = 0) -> np.ndarray:
+    """Generate `n_samples` of complex64 baseband starting at sample index
+    `start_sample` (deterministic given seed — chunked calls concatenate
+    exactly when noise=False; noise streams are chunk-independent)."""
+    t = (np.arange(n_samples, dtype=np.float64) + start_sample) / fs
+    rng = np.random.default_rng(seed)
+    out = np.zeros(n_samples, dtype=np.complex64)
+    for sat in sats:
+        out += _sat_signal_block(sat, fs, t, rng)
+    if noise:
+        nrng = np.random.default_rng((seed, 0xC0FFEE, start_sample))
+        out += (nrng.standard_normal(n_samples)
+                + 1j * nrng.standard_normal(n_samples)).astype(np.complex64) \
+            * np.float32(np.sqrt(0.5))
+    return out
+
+
+def generate_to_file(path, item_type: str, sats, fs: float, duration_s: float,
+                     *, chunk_s: float = 1.0, noise: bool = True,
+                     seed: int = 0, scale: float = 200.0) -> int:
+    """Stream a long scenario to a raw capture file (reference file-source
+    formats).  Returns total samples written."""
+    total = int(round(duration_s * fs))
+    chunk = int(round(chunk_s * fs))
+    written = 0
+    with open(path, "wb") as fh:
+        while written < total:
+            n = min(chunk, total - written)
+            x = generate_baseband(sats, fs, n, start_sample=written,
+                                  noise=noise, seed=seed)
+            _write_chunk(fh, x, item_type, scale)
+            written += n
+    return written
+
+
+def _write_chunk(fh, x: np.ndarray, item_type: str, scale: float) -> None:
+    dtype, interleaved = sample_io._FORMATS[item_type]
+    if dtype == np.complex64:
+        (x.astype(np.complex64) * scale).tofile(fh)
+        return
+    info = np.iinfo(dtype)
+    if interleaved:
+        out = np.empty(2 * len(x), dtype=np.float32)
+        out[0::2] = x.real * scale
+        out[1::2] = x.imag * scale
+        np.clip(np.rint(out), info.min, info.max).astype(dtype).tofile(fh)
+    else:
+        np.clip(np.rint(x.real * scale), info.min, info.max
+                ).astype(dtype).tofile(fh)
