@@ -1,0 +1,327 @@
+"""Batched DLL/PLL tracking engine.
+
+TPU-native re-design of the reference `dll_pll_veml_tracking` GNU Radio
+block (src/algorithms/tracking/gnuradio_blocks/dll_pll_veml_tracking.cc):
+instead of one thread per channel consuming a variable number of samples per
+iteration (consume_each(d_current_prn_length_samples), :2061), ALL channels
+advance one code epoch per `lax.scan` step over a shared device-resident
+sample chunk.  The reference's variable-length consume becomes a
+per-channel sample *pointer* plus fractional code/carrier phase remnants
+carried as scan state; the per-1ms loop closure (discriminators -> loop
+filters -> NCO update, run_dll_pll() :1065-1152 and update_tracking_vars()
+:1189-1260) runs vectorized on-device, so no host round-trip ever touches
+the ms-rate feedback path.
+
+The host-side TrackingEngine wraps the jitted chunk scan with absolute
+sample bookkeeping (int64) and acquisition->tracking handoff
+(pull-in alignment, :1757-1788).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnss_sim_receiver_tpu import constants
+from gnss_sim_receiver_tpu.ops import cn0 as cn0_ops
+from gnss_sim_receiver_tpu.ops import correlator, discriminators
+from gnss_sim_receiver_tpu.ops import loop_filters as lf
+from gnss_sim_receiver_tpu.ops import prn_codes
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConf:
+    """Reference Dll_Pll_Conf subset (tracking/libs/dll_pll_conf.h:42-80)."""
+    fs: float = 2_000_000.0
+    code_rate_cps: float = constants.GPS_L1_CA_CODE_RATE_CPS
+    code_length_chips: int = constants.GPS_L1_CA_CODE_LENGTH_CHIPS
+    carrier_freq_hz: float = constants.GPS_L1_FREQ_HZ
+    pll_bw_hz: float = 35.0
+    pll_filter_order: int = 3
+    dll_bw_hz: float = 2.0
+    dll_filter_order: int = 2
+    enable_fll_pullin: bool = True
+    fll_bw_hz: float = 15.0
+    fll_pullin_epochs: int = 250
+    early_late_space_chips: float = 0.5
+    cn0_window_epochs: int = 20
+    cn0_min_db_hz: float = 25.0
+    carrier_lock_threshold: float = 0.75
+    max_lock_fail: int = 50
+
+    @property
+    def t_epoch_nominal_s(self) -> float:
+        return self.code_length_chips / self.code_rate_cps
+
+    @property
+    def nominal_epoch_samples(self) -> int:
+        return int(round(self.fs * self.t_epoch_nominal_s))
+
+    @property
+    def block_size(self) -> int:
+        # fixed correlation block: one code period + slack, VPU-aligned
+        b = int(np.ceil(self.fs * self.t_epoch_nominal_s * 1.01)) + 16
+        return ((b + 127) // 128) * 128
+
+
+class TrackState(NamedTuple):
+    """Per-channel scan-carried state; every field is [C]-shaped."""
+    active: jnp.ndarray            # bool
+    pos: jnp.ndarray               # int32 next epoch start (chunk-relative)
+    rem_code_phase: jnp.ndarray    # float32 chips into the code period
+    code_freq: jnp.ndarray         # float32 chips/s
+    carrier_doppler: jnp.ndarray   # float32 Hz
+    rem_carr_phase: jnp.ndarray    # float32 rad (NCO phase mod 2pi)
+    acc_phase_cycles: jnp.ndarray  # float32 Kahan sum of carrier cycles
+    acc_phase_comp: jnp.ndarray    # float32 Kahan compensation
+    dll: lf.LoopFilterState
+    pll: lf.LoopFilterState
+    prompt_prev: jnp.ndarray       # complex64 (FLL memory)
+    epoch: jnp.ndarray             # int32 epochs since start_tracking
+    cn0_acc: cn0_ops.Cn0AccumState
+    cn0_db_hz: jnp.ndarray         # float32
+    carrier_lock: jnp.ndarray      # float32
+    lock_fail: jnp.ndarray         # float32
+    lock_lost: jnp.ndarray         # bool
+
+
+def _init_state(n_channels: int) -> TrackState:
+    z = lambda dt=jnp.float32: jnp.zeros(n_channels, dt)
+    return TrackState(
+        active=z(bool), pos=z(jnp.int32), rem_code_phase=z(),
+        code_freq=jnp.full(n_channels, constants.GPS_L1_CA_CODE_RATE_CPS,
+                           jnp.float32),
+        carrier_doppler=z(), rem_carr_phase=z(),
+        acc_phase_cycles=z(), acc_phase_comp=z(),
+        dll=lf.init_state(n_channels), pll=lf.init_state(n_channels),
+        prompt_prev=z(jnp.complex64), epoch=z(jnp.int32),
+        cn0_acc=cn0_ops.init_accum(n_channels),
+        cn0_db_hz=z(), carrier_lock=z(), lock_fail=z(),
+        lock_lost=z(bool),
+    )
+
+
+def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
+                x_chunk: jax.Array, state: TrackState):
+    """Advance every channel by one code epoch. Returns (state', outputs)."""
+    fs = conf.fs
+    code_len = jnp.float32(conf.code_length_chips)
+
+    # --- epoch length from current code NCO (update_tracking_vars :1189) ---
+    n_c = jnp.round((code_len - state.rem_code_phase)
+                    / state.code_freq * fs).astype(jnp.int32)
+    n_c = jnp.clip(n_c, 1, conf.block_size)
+    t_int = n_c.astype(jnp.float32) / jnp.float32(fs)
+
+    # --- correlate (do_correlation_step :1037) -----------------------------
+    blocks = correlator.gather_blocks(x_chunk, state.pos, conf.block_size)
+    corr = correlator.correlate_multitap(
+        blocks, codes, taps, state.rem_code_phase, state.code_freq,
+        state.rem_carr_phase, state.carrier_doppler, n_c, fs)
+    early, prompt, late = corr[:, 0], corr[:, 1], corr[:, 2]
+
+    # --- loop closure (run_dll_pll :1065) ----------------------------------
+    # PLL: Costas discriminator in cycles; 3rd-order filter whose first
+    # integrator carries the Doppler estimate (initialized at handoff).
+    carr_err_cyc = discriminators.pll_costas(prompt) / (2.0 * jnp.pi)
+    if conf.pll_filter_order == 3:
+        wn = jnp.float32(conf.pll_bw_hz / 0.7845)
+        pll_acc = state.pll.acc + wn * wn * wn * t_int * carr_err_cyc
+        pll_vel = state.pll.vel + t_int * (pll_acc
+                                           + 1.1 * wn * wn * carr_err_cyc)
+        out_gain = 2.4 * wn
+    else:
+        wn = jnp.float32(conf.pll_bw_hz / 0.53)
+        pll_acc = state.pll.acc
+        pll_vel = state.pll.vel + wn * wn * t_int * carr_err_cyc
+        out_gain = 1.414213562 * wn
+
+    # FLL assist during pull-in: nudge the frequency integrator directly
+    # (reference FLL-assisted-PLL pull-in mode, run_dll_pll :1080-1099).
+    if conf.enable_fll_pullin:
+        freq_err = discriminators.fll_cross_dot(
+            state.prompt_prev, prompt, t_int)
+        in_pullin = (state.epoch > 0) & (state.epoch < conf.fll_pullin_epochs)
+        pll_vel = jnp.where(
+            in_pullin,
+            pll_vel + 4.0 * jnp.float32(conf.fll_bw_hz) * t_int * freq_err,
+            pll_vel)
+    pll_new = lf.LoopFilterState(vel=pll_vel, acc=pll_acc)
+    carrier_doppler = pll_vel + out_gain * carr_err_cyc
+
+    # DLL with carrier aiding (:1126-1129)
+    code_err_chips = discriminators.dll_nc_e_minus_l_normalized(
+        jnp.abs(early), jnp.abs(late),
+        jnp.float32(conf.early_late_space_chips))
+    dll_new, dll_out = lf.second_order_step(
+        state.dll, code_err_chips, jnp.float32(conf.dll_bw_hz), t_int)
+    code_freq = (jnp.float32(conf.code_rate_cps)
+                 * (1.0 + carrier_doppler / jnp.float32(conf.carrier_freq_hz))
+                 + dll_out)
+
+    # --- NCO phase carry (with the freqs USED this epoch, for continuity) --
+    rem_code = (state.rem_code_phase + state.code_freq * t_int - code_len)
+    carr_adv_cycles = state.carrier_doppler * t_int
+    rem_carr = jnp.mod(state.rem_carr_phase
+                       + 2.0 * jnp.pi * carr_adv_cycles, 2.0 * jnp.pi)
+    # Kahan accumulation of total carrier cycles
+    y = carr_adv_cycles - state.acc_phase_comp
+    t_sum = state.acc_phase_cycles + y
+    comp = (t_sum - state.acc_phase_cycles) - y
+    pos_next = state.pos + n_c
+
+    # --- C/N0 + lock detection every cn0_window epochs (:972-1035) ---------
+    acc = cn0_ops.accumulate(state.cn0_acc, prompt)
+    window_done = jnp.mod(state.epoch + 1, conf.cn0_window_epochs) == 0
+    cn0_new = cn0_ops.cn0_m2m4_estimate(acc, t_int)
+    lock_new = cn0_ops.carrier_lock_value(acc)
+    cn0_db = jnp.where(window_done, cn0_new, state.cn0_db_hz)
+    carrier_lock = jnp.where(window_done, lock_new, state.carrier_lock)
+    in_transitory = state.epoch < conf.fll_pullin_epochs
+    locked = ((carrier_lock > conf.carrier_lock_threshold)
+              & (cn0_db > conf.cn0_min_db_hz)) | in_transitory
+    fail, lost = cn0_ops.update_lock_counters(
+        state.lock_fail, locked, jnp.float32(conf.max_lock_fail))
+    fail = jnp.where(window_done, fail, state.lock_fail)
+    lost = jnp.where(window_done, lost | state.lock_lost, state.lock_lost)
+    acc = jax.tree.map(
+        lambda a: jnp.where(window_done, jnp.zeros_like(a), a), acc)
+
+    # --- masked commit (inactive channels advance nominally) ---------------
+    act = state.active
+    nominal_n = jnp.int32(conf.nominal_epoch_samples)
+
+    def sel(new, old):
+        return jnp.where(act, new, old)
+
+    new_state = TrackState(
+        active=act & ~lost,
+        pos=jnp.where(act, pos_next, state.pos + nominal_n),
+        rem_code_phase=sel(rem_code, state.rem_code_phase),
+        code_freq=sel(code_freq, state.code_freq),
+        carrier_doppler=sel(carrier_doppler, state.carrier_doppler),
+        rem_carr_phase=sel(rem_carr, state.rem_carr_phase),
+        acc_phase_cycles=sel(t_sum, state.acc_phase_cycles),
+        acc_phase_comp=sel(comp, state.acc_phase_comp),
+        dll=jax.tree.map(sel, dll_new, state.dll),
+        pll=jax.tree.map(sel, pll_new, state.pll),
+        prompt_prev=sel(prompt, state.prompt_prev),
+        epoch=jnp.where(act, state.epoch + 1, state.epoch),
+        cn0_acc=jax.tree.map(sel, acc, state.cn0_acc),
+        cn0_db_hz=sel(cn0_db, state.cn0_db_hz),
+        carrier_lock=sel(carrier_lock, state.carrier_lock),
+        lock_fail=sel(fail, state.lock_fail),
+        lock_lost=sel(lost, state.lock_lost),
+    )
+    outputs = {
+        "prompt": prompt,
+        "early_mag": jnp.abs(early),
+        "late_mag": jnp.abs(late),
+        "carrier_doppler_hz": state.carrier_doppler,
+        "code_freq_cps": state.code_freq,
+        "rem_code_phase_chips": state.rem_code_phase,
+        "acc_phase_cycles": state.acc_phase_cycles,
+        "pos_start": state.pos,
+        "n_samples": n_c,
+        "cn0_db_hz": cn0_db,
+        "valid": act,
+    }
+    return new_state, outputs
+
+
+@partial(jax.jit, static_argnames=("conf", "n_epochs"))
+def track_chunk(conf: TrackingConf, n_epochs: int, codes: jax.Array,
+                taps: jax.Array, x_chunk: jax.Array, state: TrackState):
+    """Scan `n_epochs` code epochs of every channel over one sample chunk."""
+    def body(s, _):
+        return _epoch_step(conf, codes, taps, x_chunk, s)
+    return jax.lax.scan(body, state, None, length=n_epochs)
+
+
+class TrackingEngine:
+    """Host-side wrapper: absolute sample bookkeeping + acq handoff.
+
+    The caller feeds monotonically advancing sample arrays; the engine
+    slices per-chunk windows, runs the jitted scan, and returns [T, C]
+    epoch outputs with absolute sample counters (the
+    Tracking_sample_counter of gnss_synchro.h).
+    """
+
+    def __init__(self, conf: TrackingConf, prns):
+        self.conf = conf
+        self.prns = [int(p) for p in prns]
+        self.n_channels = len(self.prns)
+        self.codes = jnp.asarray(prn_codes.gps_l1_ca_code_table(self.prns))
+        d = conf.early_late_space_chips
+        self.taps = jnp.asarray(np.array([+d / 2, 0.0, -d / 2], np.float32))
+        self.state = _init_state(self.n_channels)
+        self.abs_start = np.zeros(self.n_channels, np.int64)  # abs sample of pos==0
+
+    def start_tracking(self, ch: int, doppler_hz: float,
+                       abs_code_start_sample: int) -> None:
+        """Arm channel `ch` from an acquisition result: first epoch starts
+        at the absolute sample where a code period begins
+        (acq samplestamp + delay), Doppler seeds the PLL integrator
+        (reference start_tracking(), dll_pll_veml_tracking.cc:643-884)."""
+        s = self.state
+        upd = {
+            "active": s.active.at[ch].set(True),
+            "pos": s.pos.at[ch].set(0),
+            "rem_code_phase": s.rem_code_phase.at[ch].set(0.0),
+            "code_freq": s.code_freq.at[ch].set(
+                self.conf.code_rate_cps
+                * (1.0 + doppler_hz / self.conf.carrier_freq_hz)),
+            "carrier_doppler": s.carrier_doppler.at[ch].set(doppler_hz),
+            "rem_carr_phase": s.rem_carr_phase.at[ch].set(0.0),
+            "acc_phase_cycles": s.acc_phase_cycles.at[ch].set(0.0),
+            "acc_phase_comp": s.acc_phase_comp.at[ch].set(0.0),
+            "dll": lf.LoopFilterState(vel=s.dll.vel.at[ch].set(0.0),
+                                      acc=s.dll.acc.at[ch].set(0.0)),
+            "pll": lf.LoopFilterState(vel=s.pll.vel.at[ch].set(doppler_hz),
+                                      acc=s.pll.acc.at[ch].set(0.0)),
+            "prompt_prev": s.prompt_prev.at[ch].set(0.0 + 0.0j),
+            "epoch": s.epoch.at[ch].set(0),
+            "cn0_db_hz": s.cn0_db_hz.at[ch].set(0.0),
+            "carrier_lock": s.carrier_lock.at[ch].set(0.0),
+            "lock_fail": s.lock_fail.at[ch].set(0.0),
+            "lock_lost": s.lock_lost.at[ch].set(False),
+        }
+        self.state = s._replace(**upd)
+        self.abs_start[ch] = int(abs_code_start_sample)
+
+    def process(self, x: np.ndarray, x_abs_start: int, n_epochs: int):
+        """Track `n_epochs` epochs using samples `x` (absolute start index
+        `x_abs_start`).  Caller must supply enough samples:
+        max(pos) + n_epochs*nominal + block_size within x."""
+        active = np.asarray(self.state.active)
+        if not active.any():
+            raise RuntimeError("no active channels")
+        # chunk-relative positions: channel c's pos is relative to
+        # abs_start[c]; rebase everything onto x's indexing
+        rel = (self.abs_start - x_abs_start
+               + np.asarray(self.state.pos, np.int64))
+        if (rel[active] < 0).any():
+            raise ValueError("sample array starts after a channel position")
+        need = int(rel[active].max()) + n_epochs * (
+            self.conf.nominal_epoch_samples + 2) + self.conf.block_size
+        if len(x) < need:
+            raise ValueError(f"need >= {need} samples, got {len(x)}")
+        state = self.state._replace(pos=jnp.asarray(rel, jnp.int32))
+        x_dev = jnp.asarray(np.ascontiguousarray(x, dtype=np.complex64))
+        new_state, outs = track_chunk(self.conf, int(n_epochs), self.codes,
+                                      self.taps, x_dev, state)
+        # rebase back: abs position of next epoch start
+        new_pos = np.asarray(new_state.pos, np.int64) + x_abs_start
+        self.abs_start = new_pos
+        self.state = new_state._replace(
+            pos=jnp.zeros(self.n_channels, jnp.int32))
+        outs = {k: np.asarray(v) for k, v in outs.items()}
+        outs["sample_counter"] = (np.asarray(outs["pos_start"], np.int64)
+                                  + x_abs_start
+                                  + np.asarray(outs["n_samples"], np.int64))
+        return outs

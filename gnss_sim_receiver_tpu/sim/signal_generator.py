@@ -86,10 +86,33 @@ def _sat_signal_block(sat: SatelliteSignalParams, fs: float, t: np.ndarray,
 
 def generate_baseband(sats: list[SatelliteSignalParams], fs: float,
                       n_samples: int, *, start_sample: int = 0,
-                      noise: bool = True, seed: int = 0) -> np.ndarray:
+                      noise: bool = True, seed: int = 0,
+                      bandlimit_oversample: int = 1) -> np.ndarray:
     """Generate `n_samples` of complex64 baseband starting at sample index
     `start_sample` (deterministic given seed — chunked calls concatenate
-    exactly when noise=False; noise streams are chunk-independent)."""
+    exactly when noise=False; noise streams are chunk-independent).
+
+    bandlimit_oversample > 1 simulates a band-limited RF front end (the
+    physical anti-alias filter an SDR applies before sampling): the signal
+    is synthesized at `k*fs` with ideal rectangular chips and polyphase-
+    decimated to fs.  Without it, infinite-bandwidth chip edges at ~2
+    samples/chip give the code discriminator a meter-level quantization
+    ripple that no real front end exhibits.
+    """
+    k = int(bandlimit_oversample)
+    if k > 1:
+        from scipy import signal as _sps
+        hi = generate_baseband(sats, fs * k, n_samples * k,
+                               start_sample=start_sample * k, noise=False,
+                               seed=seed, bandlimit_oversample=1)
+        out = _sps.resample_poly(hi, 1, k,
+                                 window=("kaiser", 8.0)).astype(np.complex64)
+        if noise:
+            nrng = np.random.default_rng((seed, 0xC0FFEE, start_sample))
+            out = out + ((nrng.standard_normal(n_samples)
+                          + 1j * nrng.standard_normal(n_samples))
+                         .astype(np.complex64) * np.float32(np.sqrt(0.5)))
+        return out
     t = (np.arange(n_samples, dtype=np.float64) + start_sample) / fs
     rng = np.random.default_rng(seed)
     out = np.zeros(n_samples, dtype=np.complex64)
@@ -105,7 +128,8 @@ def generate_baseband(sats: list[SatelliteSignalParams], fs: float,
 
 def generate_to_file(path, item_type: str, sats, fs: float, duration_s: float,
                      *, chunk_s: float = 1.0, noise: bool = True,
-                     seed: int = 0, scale: float = 200.0) -> int:
+                     seed: int = 0, scale: float = 200.0,
+                     bandlimit_oversample: int = 1) -> int:
     """Stream a long scenario to a raw capture file (reference file-source
     formats).  Returns total samples written."""
     total = int(round(duration_s * fs))
@@ -115,7 +139,8 @@ def generate_to_file(path, item_type: str, sats, fs: float, duration_s: float,
         while written < total:
             n = min(chunk, total - written)
             x = generate_baseband(sats, fs, n, start_sample=written,
-                                  noise=noise, seed=seed)
+                                  noise=noise, seed=seed,
+                                  bandlimit_oversample=bandlimit_oversample)
             _write_chunk(fh, x, item_type, scale)
             written += n
     return written
