@@ -1,0 +1,151 @@
+"""PVT: single-point least-squares position/velocity/time solver.
+
+Host-side (float64) equivalent of the reference's pntpos path
+(Rtklib_Solver::get_PVT -> rtkpos -> pntpos, src/algorithms/PVT/libs/
+rtklib_solver.cc:905 + src/algorithms/libs/rtklib/rtklib_pntpos.cc):
+iterated LS on code pseudoranges for (x, y, z, c*dt_r), Earth-rotation
+(Sagnac) correction, SV clock + TGD correction, elevation mask, DOPs, and a
+linear LS on Doppler for velocity + clock drift.  Atmospheric models are
+omitted for the simulator fixtures (the simulator emits no iono/tropo
+delay); hooks exist for adding them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from gnss_sim_receiver_tpu import constants
+from gnss_sim_receiver_tpu.utils import geodesy
+
+C = constants.SPEED_OF_LIGHT_M_S
+OMEGA_E = constants.GPS_OMEGA_EARTH_DOT
+
+
+@dataclasses.dataclass
+class PvtConf:
+    elevation_mask_deg: float = 5.0
+    max_gdop: float = 30.0
+    apply_tgd: bool = True
+
+
+@dataclasses.dataclass
+class PvtSolution:
+    valid: bool
+    rx_ecef_m: np.ndarray        # [3]
+    rx_clock_bias_s: float
+    rx_vel_ecef_ms: np.ndarray   # [3]
+    rx_clock_drift_ss: float
+    rx_time_corrected_s: float   # rx_time - clock bias
+    gdop: float
+    pdop: float
+    hdop: float
+    vdop: float
+    n_sats: int
+    residuals_m: np.ndarray
+
+
+def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
+              x0=None) -> PvtSolution:
+    """Solve position/time (+velocity) from one ObservationEpoch.
+
+    obs: models.observables.ObservationEpoch
+    prns: [C] channel -> PRN mapping
+    ephemerides: {prn: GpsEphemeris}
+    """
+    prns = np.asarray(prns)
+    idx = [c for c in range(len(prns))
+           if obs.valid[c] and int(prns[c]) in ephemerides]
+    bad = PvtSolution(False, np.zeros(3), 0.0, np.zeros(3), 0.0,
+                      obs.rx_time_s, 0, 0, 0, 0, len(idx), np.array([]))
+    if len(idx) < 4:
+        return bad
+
+    pr = obs.pseudorange_m[idx]
+    tow_tx_s = obs.interp_tow_ms[idx] / 1000.0
+    ephs = [ephemerides[int(prns[c])] for c in idx]
+
+    # satellite positions/clocks at transmit time (SV time -> GPS time
+    # iteration via the SV clock polynomial, rtklib ephpos/ephclk)
+    sat_pos = np.zeros((len(idx), 3))
+    sat_clk = np.zeros(len(idx))
+    sat_vel = np.zeros((len(idx), 3))
+    for k, eph in enumerate(ephs):
+        t_sv = tow_tx_s[k]
+        _, clk = eph.sat_pos_clock(t_sv)
+        t_gps = t_sv - clk
+        pos, clk = eph.sat_pos_clock(t_gps)
+        sat_pos[k] = pos
+        sat_clk[k] = clk + (eph.tgd if conf.apply_tgd else 0.0)
+        sat_vel[k] = eph.sat_vel(t_gps)
+
+    # iterated LS for (x, y, z, c dtr)
+    x = np.zeros(4)
+    if x0 is not None:
+        x[:3] = x0
+    el_mask_applied = np.ones(len(idx), bool)
+    for it in range(10):
+        rng = np.zeros(len(idx))
+        h = np.zeros((len(idx), 4))
+        for k in range(len(idx)):
+            # Sagnac: rotate SV position into the ECEF frame at reception
+            tau = max(np.linalg.norm(sat_pos[k] - x[:3]) / C, 1e-3)
+            ang = OMEGA_E * tau
+            rot = np.array([[np.cos(ang), np.sin(ang), 0],
+                            [-np.sin(ang), np.cos(ang), 0],
+                            [0, 0, 1]])
+            p = rot @ sat_pos[k]
+            d = p - x[:3]
+            r = np.linalg.norm(d)
+            rng[k] = r
+            h[k, :3] = -d / r
+            h[k, 3] = 1.0
+        resid = pr - (rng + x[3] - C * sat_clk)
+        sel = el_mask_applied
+        if sel.sum() < 4:
+            return bad
+        dx, *_ = np.linalg.lstsq(h[sel], resid[sel], rcond=None)
+        x += dx
+        if np.linalg.norm(dx[:3]) < 1e-4:
+            break
+        if it == 2:  # apply elevation mask once roughly converged
+            for k in range(len(idx)):
+                el, _ = geodesy.elevation_azimuth(x[:3], sat_pos[k])
+                el_mask_applied[k] = np.degrees(el) >= conf.elevation_mask_deg
+
+    sel = el_mask_applied
+    if sel.sum() < 4:
+        return bad
+    # DOPs from the geometry matrix in ENU
+    lat, lon, _ = geodesy.ecef_to_llh(x[:3])
+    q = np.linalg.inv(h[sel].T @ h[sel])
+    gdop = float(np.sqrt(np.trace(q)))
+    if not np.isfinite(gdop) or gdop > conf.max_gdop:
+        return bad
+    e = geodesy.ecef_to_enu_matrix(lat, lon)
+    q_enu = e @ q[:3, :3] @ e.T
+    pdop = float(np.sqrt(np.trace(q[:3, :3])))
+    hdop = float(np.sqrt(q_enu[0, 0] + q_enu[1, 1]))
+    vdop = float(np.sqrt(q_enu[2, 2]))
+
+    # velocity: LS on Doppler (rtklib estvel): predicted range rate
+    lam = C / constants.GPS_L1_FREQ_HZ
+    rate_meas = -lam * obs.carrier_doppler_hz[idx]
+    hv = np.zeros((len(idx), 4))
+    rhs = np.zeros(len(idx))
+    for k in range(len(idx)):
+        d = sat_pos[k] - x[:3]
+        los = d / np.linalg.norm(d)
+        rhs[k] = rate_meas[k] - los @ sat_vel[k]
+        hv[k, :3] = -los
+        hv[k, 3] = 1.0
+    v, *_ = np.linalg.lstsq(hv[sel], rhs[sel], rcond=None)
+
+    resid_final = resid[sel]
+    return PvtSolution(
+        valid=True, rx_ecef_m=x[:3].copy(), rx_clock_bias_s=x[3] / C,
+        rx_vel_ecef_ms=v[:3].copy(), rx_clock_drift_ss=v[3] / C,
+        rx_time_corrected_s=obs.rx_time_s - x[3] / C,
+        gdop=gdop, pdop=pdop, hdop=hdop, vdop=vdop,
+        n_sats=int(sel.sum()), residuals_m=resid_final)

@@ -1,0 +1,139 @@
+"""GPS L1 C/A telemetry decoding engine (host-side).
+
+Equivalent of the reference gps_l1_ca_telemetry_decoder_gs
+(src/algorithms/telemetry_decoder/gnuradio_blocks/
+gps_l1_ca_telemetry_decoder_gs.cc): consumes the tracking engine's
+per-epoch prompt outputs (device-produced, 1 kHz per channel), performs
+bit synchronization, 50 bps bit decisions, LNAV subframe sync/parity
+(nav.lnav), ephemeris assembly, and stamps every epoch with
+TOW_at_current_symbol_ms.  Bit-level work is 50 bps x channels — host work
+by design (SURVEY.md section 7: "decode host-side from device-produced
+prompt-symbol batches")."""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from gnss_sim_receiver_tpu.nav import lnav
+from gnss_sim_receiver_tpu.nav.ephemeris import (GpsEphemeris,
+                                                 fields_to_ephemeris)
+
+CODES_PER_BIT = 20
+
+
+@dataclasses.dataclass
+class _ChannelTlmState:
+    prompts_i: list = dataclasses.field(default_factory=list)
+    epoch_count: int = 0
+    bit_phase: int | None = None        # epoch index mod 20 of bit starts
+    transition_hist: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros(CODES_PER_BIT, np.int64))
+    last_sign: float = 0.0
+    n_bits_emitted: int = 0
+    frame: lnav.LnavFrameDecoder = dataclasses.field(
+        default_factory=lnav.LnavFrameDecoder)
+    # TOW anchor: epoch index of a subframe's first epoch + its TOW (ms)
+    anchor_epoch: int | None = None
+    anchor_tow_ms: float = 0.0
+    # ephemeris assembly
+    sf_fields: dict = dataclasses.field(default_factory=dict)
+    ephemeris: GpsEphemeris | None = None
+
+
+@dataclasses.dataclass
+class TelemetryOutputs:
+    tow_at_epoch_ms: np.ndarray      # [T, C] float64, nan if unknown
+    tow_valid: np.ndarray            # [T, C] bool
+    new_ephemerides: list            # [(channel, GpsEphemeris), ...]
+
+
+class TelemetryDecoder:
+    def __init__(self, prns):
+        self.prns = [int(p) for p in prns]
+        self.ch = [_ChannelTlmState() for _ in self.prns]
+
+    def process(self, track_outs: dict) -> TelemetryOutputs:
+        """Consume tracking outputs ([T, C] arrays from
+        TrackingEngine.process) and extend each channel's bit stream."""
+        prompts = track_outs["prompt"]
+        valid = track_outs["valid"]
+        t_len, n_ch = prompts.shape
+        tow = np.full((t_len, n_ch), np.nan)
+        new_eph = []
+        for c in range(n_ch):
+            st = self.ch[c]
+            base = st.epoch_count
+            for e in range(t_len):
+                if not valid[e, c]:
+                    st.epoch_count += 1
+                    continue
+                pi = float(prompts[e, c].real)
+                s = 1.0 if pi >= 0 else -1.0
+                idx = st.epoch_count
+                if st.last_sign != 0.0 and s != st.last_sign:
+                    st.transition_hist[idx % CODES_PER_BIT] += 1
+                st.last_sign = s
+                st.prompts_i.append(pi)
+                st.epoch_count += 1
+                if st.bit_phase is None and st.epoch_count - base >= 200:
+                    self._try_bit_sync(st)
+            if st.bit_phase is not None:
+                self._emit_bits(st, c, new_eph)
+            # stamp TOW for this batch
+            if st.anchor_epoch is not None:
+                for e in range(t_len):
+                    idx = base + e
+                    if valid[e, c] and idx >= st.anchor_epoch:
+                        tow[e, c] = (st.anchor_tow_ms
+                                     + (idx + 1 - st.anchor_epoch) * 1.0)
+        return TelemetryOutputs(tow_at_epoch_ms=tow,
+                                tow_valid=~np.isnan(tow),
+                                new_ephemerides=new_eph)
+
+    # -- internals ----------------------------------------------------------
+    def _try_bit_sync(self, st: _ChannelTlmState) -> None:
+        """Bit edge = dominant transition phase (the histogram equivalent of
+        the reference's 20-symbol sign-pattern sync,
+        dll_pll_veml_tracking.cc:1852-1867)."""
+        h = st.transition_hist
+        total = h.sum()
+        if total < 8:
+            return
+        top = int(h.argmax())
+        if h[top] < 0.8 * total:
+            return
+        st.bit_phase = top  # bits start at epochs where idx % 20 == top
+
+    def _emit_bits(self, st: _ChannelTlmState, c: int, new_eph: list) -> None:
+        phase = st.bit_phase
+        # epoch index of bit k start: phase + 20k (global epoch indexing,
+        # because prompts_i[i] belongs to global epoch i when all valid)
+        nbits_avail = (len(st.prompts_i) - phase) // CODES_PER_BIT
+        if nbits_avail <= st.n_bits_emitted:
+            return
+        bits = []
+        for k in range(st.n_bits_emitted, nbits_avail):
+            s0 = phase + k * CODES_PER_BIT
+            acc = sum(st.prompts_i[s0:s0 + CODES_PER_BIT])
+            bits.append(1 if acc >= 0 else 0)
+        st.n_bits_emitted = nbits_avail
+        for ev in st.frame.push_bits(bits):
+            sf_start_epoch = phase + ev.bit_index * CODES_PER_BIT
+            tow_sf_start_s = ev.tow_next_s - lnav.SUBFRAME_SECONDS
+            st.anchor_epoch = sf_start_epoch
+            st.anchor_tow_ms = tow_sf_start_s * 1000.0
+            if ev.sf_id in (1, 2, 3):
+                st.sf_fields[ev.sf_id] = ev.fields
+                if all(k in st.sf_fields for k in (1, 2, 3)):
+                    f1, f2, f3 = (st.sf_fields[1], st.sf_fields[2],
+                                  st.sf_fields[3])
+                    if int(f2["iode"]) == int(f3["iode_sf3"]) and \
+                       int(f1["iodc"]) % 256 == int(f2["iode"]):
+                        eph = fields_to_ephemeris(self.prns[c], f1, f2, f3)
+                        if (st.ephemeris is None
+                                or st.ephemeris.iode != eph.iode
+                                or st.ephemeris.toe != eph.toe):
+                            st.ephemeris = eph
+                            new_eph.append((c, eph))

@@ -225,7 +225,13 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         "carrier_doppler_hz": state.carrier_doppler,
         "code_freq_cps": state.code_freq,
         "rem_code_phase_chips": state.rem_code_phase,
-        "acc_phase_cycles": state.acc_phase_cycles,
+        # accumulated carrier phase at epoch END (cycles, Kahan-corrected)
+        "acc_phase_cycles": t_sum + comp,
+        # replica chips past the code boundary at epoch end, in samples:
+        # the exact (fractional) receiver sample of the boundary is
+        # sample_counter - code_phase_samples (gnss_synchro.h
+        # Code_phase_samples; used by observables' compute_T_rx_s)
+        "code_phase_samples": rem_code * jnp.float32(fs) / state.code_freq,
         "pos_start": state.pos,
         "n_samples": n_c,
         "cn0_db_hz": cn0_db,

@@ -52,42 +52,86 @@ def cn0_to_amplitude(cn0_db_hz: float, fs: float) -> float:
     return float(np.sqrt(10.0 ** (cn0_db_hz / 10.0) / fs))
 
 
-def _sat_signal_block(sat: SatelliteSignalParams, fs: float, t: np.ndarray,
-                      rng: np.random.Generator) -> np.ndarray:
+def _sat_chip_table(sat: SatelliteSignalParams) -> np.ndarray:
+    """Pre-expanded chip-value sequence code[chip % L] * bit[chip // LB]
+    over the whole nav-bit stream, as int8 — one gather per sample instead
+    of two gathers + two mods in the hot loop."""
+    code = prn_codes.gps_l1_ca_code(sat.prn).astype(np.int8)
+    bits = np.asarray(sat.nav_bits, dtype=np.int8)
+    n_chips = len(bits) * (constants.GPS_L1_CA_CODE_LENGTH_CHIPS
+                           * constants.GPS_L1_CA_CODES_PER_BIT)
+    reps = n_chips // constants.GPS_L1_CA_CODE_LENGTH_CHIPS
+    table = np.tile(code, reps)
+    table *= np.repeat(bits, constants.GPS_L1_CA_CODE_LENGTH_CHIPS
+                       * constants.GPS_L1_CA_CODES_PER_BIT)
+    return table
+
+
+_ANCHOR_BLOCK = 8192
+
+
+def _sat_signal_block(sat: SatelliteSignalParams, fs: float,
+                      start_sample: int, n: int,
+                      amp_fs: float | None = None) -> np.ndarray:
+    """Synthesize n samples starting at absolute index start_sample.
+
+    Numerics: float64 is only evaluated at one anchor per 8192-sample block
+    (this host's f64 throughput is ~6x worse than f32); per-sample chip
+    index and carrier phase are linearized in float32 around the anchors,
+    exact to ~6e-5 chips / 2e-6 rad within a block — well below the
+    sub-centimeter fidelity the fixtures need.
+    """
     if sat.system != "GPS" or sat.signal != "1C":
         raise NotImplementedError(
             f"simulator signal {sat.system}/{sat.signal} not yet supported")
     f_c = constants.GPS_L1_FREQ_HZ
     code_rate = constants.GPS_L1_CA_CODE_RATE_CPS
-    code = prn_codes.gps_l1_ca_code(sat.prn).astype(np.float64)
+    if getattr(sat, "_chip_table", None) is None:
+        sat._chip_table = _sat_chip_table(sat)
+    table = sat._chip_table
 
+    b = _ANCHOR_BLOCK
+    nblk = -(-n // b)
+    # anchors (f64, one per block)
+    s_b = start_sample + b * np.arange(nblk, dtype=np.float64)
+    t_b = s_b / fs
     delay0 = sat.delay_sec + sat.delay_chips / code_rate
-    delay = delay0 - (sat.doppler_hz / f_c) * t \
-        - (sat.doppler_rate_hz_s / f_c) * t * t / 2.0
-    tau = t - delay
+    delay_b = delay0 - (sat.doppler_hz / f_c) * t_b \
+        - (sat.doppler_rate_hz_s / f_c) * t_b * t_b / 2.0
+    tau_b = t_b - delay_b
+    chipf_b = tau_b * code_rate
+    dop_b = sat.doppler_hz + sat.doppler_rate_hz_s * t_b
+    chip_rate_b = code_rate * (1.0 + dop_b / f_c) / fs     # chips/sample
+    phase_b = np.mod(2.0 * np.pi * (sat.doppler_hz * t_b
+                                    + sat.doppler_rate_hz_s * t_b * t_b / 2.0)
+                     + sat.carrier_phase_rad, 2.0 * np.pi)
+    phase_rate_b = 2.0 * np.pi * dop_b / fs                # rad/sample
 
-    chip = np.floor(tau * code_rate).astype(np.int64)
-    chips_per_bit = (constants.GPS_L1_CA_CODE_LENGTH_CHIPS
-                     * constants.GPS_L1_CA_CODES_PER_BIT)
-    code_vals = code[np.mod(chip, constants.GPS_L1_CA_CODE_LENGTH_CHIPS)]
+    base_b = np.floor(chipf_b).astype(np.int64) % len(table)
+    frac_b = (chipf_b - np.floor(chipf_b)).astype(np.float32)
 
-    if sat.nav_bits is None:
-        sat.nav_bits = (rng.integers(0, 2, 1500) * 2 - 1).astype(np.int8)
-    bits = np.asarray(sat.nav_bits, dtype=np.float64)
-    bit_idx = np.mod(np.floor_divide(chip, chips_per_bit), len(bits))
-    bit_vals = bits[bit_idx]
-
-    phase = (2.0 * np.pi * (sat.doppler_hz * t
-                            + sat.doppler_rate_hz_s * t * t / 2.0)
-             + sat.carrier_phase_rad)
-    amp = cn0_to_amplitude(sat.cn0_db_hz, fs)
-    return (amp * code_vals * bit_vals * np.exp(1j * phase)).astype(np.complex64)
+    # per-sample (f32, [nblk, b])
+    nloc = np.arange(b, dtype=np.float32)
+    chip_off = frac_b[:, None] + chip_rate_b.astype(np.float32)[:, None] * nloc
+    idx = base_b[:, None] + np.floor(chip_off).astype(np.int64)
+    np.mod(idx, len(table), out=idx)
+    chip_vals = table.take(idx.ravel()).astype(np.float32)
+    ph = phase_b.astype(np.float32)[:, None] \
+        + phase_rate_b.astype(np.float32)[:, None] * nloc
+    amp = np.float32(cn0_to_amplitude(sat.cn0_db_hz, amp_fs or fs))
+    iq = np.empty(nblk * b, dtype=np.complex64)
+    phr = ph.ravel()
+    iq.real = np.cos(phr)
+    iq.imag = np.sin(phr)
+    iq *= chip_vals * amp
+    return iq[:n]
 
 
 def generate_baseband(sats: list[SatelliteSignalParams], fs: float,
                       n_samples: int, *, start_sample: int = 0,
                       noise: bool = True, seed: int = 0,
-                      bandlimit_oversample: int = 1) -> np.ndarray:
+                      bandlimit_oversample: int = 1,
+                      _amp_fs: float | None = None) -> np.ndarray:
     """Generate `n_samples` of complex64 baseband starting at sample index
     `start_sample` (deterministic given seed — chunked calls concatenate
     exactly when noise=False; noise streams are chunk-independent).
@@ -100,24 +144,33 @@ def generate_baseband(sats: list[SatelliteSignalParams], fs: float,
     ripple that no real front end exhibits.
     """
     k = int(bandlimit_oversample)
+    rng = np.random.default_rng(seed)
+    # materialize nav bits up-front so rng consumption is chunk-invariant
+    for sat in sats:
+        if sat.nav_bits is None:
+            sat.nav_bits = (rng.integers(0, 2, 1500) * 2 - 1).astype(np.int8)
+    out = np.zeros(n_samples, dtype=np.complex64)
     if k > 1:
         from scipy import signal as _sps
-        hi = generate_baseband(sats, fs * k, n_samples * k,
-                               start_sample=start_sample * k, noise=False,
-                               seed=seed, bandlimit_oversample=1)
-        out = _sps.resample_poly(hi, 1, k,
-                                 window=("kaiser", 8.0)).astype(np.complex64)
-        if noise:
-            nrng = np.random.default_rng((seed, 0xC0FFEE, start_sample))
-            out = out + ((nrng.standard_normal(n_samples)
-                          + 1j * nrng.standard_normal(n_samples))
-                         .astype(np.complex64) * np.float32(np.sqrt(0.5)))
-        return out
-    t = (np.arange(n_samples, dtype=np.float64) + start_sample) / fs
-    rng = np.random.default_rng(seed)
-    out = np.zeros(n_samples, dtype=np.complex64)
-    for sat in sats:
-        out += _sat_signal_block(sat, fs, t, rng)
+        pad = 32  # low-rate samples of polyphase-filter warmup per edge
+        chunk = 1_000_000
+        for s0 in range(0, n_samples, chunk):
+            n = min(chunk, n_samples - s0)
+            lo0 = start_sample + s0 - pad
+            hi = generate_baseband(sats, fs * k, (n + 2 * pad) * k,
+                                   start_sample=lo0 * k, noise=False,
+                                   seed=seed, bandlimit_oversample=1,
+                                   _amp_fs=fs)
+            dec = _sps.resample_poly(hi, 1, k, window=("kaiser", 8.0))
+            out[s0:s0 + n] = dec[pad:pad + n]
+    else:
+        chunk = 4_000_000
+        for s0 in range(0, n_samples, chunk):
+            n = min(chunk, n_samples - s0)
+            for sat in sats:
+                out[s0:s0 + n] += _sat_signal_block(sat, fs,
+                                                    start_sample + s0, n,
+                                                    amp_fs=_amp_fs)
     if noise:
         nrng = np.random.default_rng((seed, 0xC0FFEE, start_sample))
         out += (nrng.standard_normal(n_samples)
