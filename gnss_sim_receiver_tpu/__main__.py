@@ -1,0 +1,78 @@
+"""CLI: run the TPU receiver from a GNSS-SDR-style configuration file.
+
+Mirrors the reference binary's interface (src/main/main.cc:119):
+  python -m gnss_sim_receiver_tpu --config_file=rx.conf [--duration_s=N]
+                                  [--signal_file=...]  (override source)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from gnss_sim_receiver_tpu.models.conditioner import SignalConditioner
+from gnss_sim_receiver_tpu.models.factory import (make_receiver,
+                                                  source_from_config)
+from gnss_sim_receiver_tpu.utils import geodesy
+from gnss_sim_receiver_tpu.utils.config import FileConfiguration
+from gnss_sim_receiver_tpu.utils.sample_io import read_samples
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="gnss_sim_receiver_tpu")
+    ap.add_argument("--config_file", "-c", required=True)
+    ap.add_argument("--signal_file", default=None,
+                    help="override SignalSource.filename")
+    ap.add_argument("--duration_s", type=float, default=0.0,
+                    help="limit processed signal duration")
+    args = ap.parse_args(argv)
+
+    config = FileConfiguration(args.config_file)
+    src = source_from_config(config)
+    if args.signal_file:
+        src.filename = args.signal_file
+    if src.implementation != "File_Signal_Source":
+        print(f"signal source {src.implementation} not supported in this "
+              "build; use File_Signal_Source", file=sys.stderr)
+        return 2
+
+    count = -1
+    if args.duration_s > 0:
+        count = int(args.duration_s * src.sampling_frequency)
+    print(f"Reading {src.filename} ({src.item_type}) ...")
+    x = read_samples(src.filename, src.item_type, count=count)
+    print(f"  {len(x)} samples at {src.sampling_frequency/1e6:.3f} Msps")
+
+    cond = SignalConditioner(config, fs_in=src.sampling_frequency)
+    x = cond.process(x)
+    print(f"  conditioned -> {len(x)} samples at {cond.fs_out/1e6:.3f} Msps")
+
+    rx = make_receiver(config)
+    t0 = time.time()
+    run = rx.process_array(x)
+    dt = time.time() - t0
+    print(f"Channels: PRNs {run.channel_prns}")
+    print(f"Ephemerides decoded: {sorted(run.ephemerides)}")
+    print(f"Processed {len(x)/cond.fs_out:.1f} s of signal in {dt:.1f} s "
+          f"({len(x)/cond.fs_out/dt:.1f}x realtime)")
+    if not run.solutions:
+        print("No position fix.")
+        return 1
+    for s in run.solutions[-5:]:
+        lat, lon, h = geodesy.ecef_to_llh(s.rx_ecef_m)
+        print(f"  t={s.rx_time_corrected_s:.2f}  "
+              f"lat={np.degrees(lat):.7f} lon={np.degrees(lon):.7f} "
+              f"h={h:.1f}  sats={s.n_sats} gdop={s.gdop:.1f}")
+    mean = np.mean([s.rx_ecef_m for s in run.solutions], axis=0)
+    lat, lon, h = geodesy.ecef_to_llh(mean)
+    print(f"Mean position: lat={np.degrees(lat):.7f} "
+          f"lon={np.degrees(lon):.7f} h={h:.2f} m "
+          f"({len(run.solutions)} fixes)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

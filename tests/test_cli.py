@@ -1,0 +1,82 @@
+"""CLI + factory tests: a reference-style conf file drives the receiver
+end-to-end through `python -m gnss_sim_receiver_tpu` (reference analogue:
+gnss_block_factory_test.cc + running the binary)."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+from gnss_sim_receiver_tpu.__main__ import main
+from gnss_sim_receiver_tpu.models.factory import (receiver_conf_from_config,
+                                                  source_from_config)
+from gnss_sim_receiver_tpu.utils.config import FileConfiguration
+from gnss_sim_receiver_tpu.utils.sample_io import write_samples
+from tests.fixtures import static_scenario_capture
+
+CONF = """\
+GNSS-SDR.internal_fs_sps=2000000
+SignalSource.implementation=File_Signal_Source
+SignalSource.filename={filename}
+SignalSource.item_type=ishort
+SignalSource.sampling_frequency=2000000
+SignalConditioner.implementation=Signal_Conditioner
+DataTypeAdapter.implementation=Ishort_To_Complex
+InputFilter.implementation=Pass_Through
+Resampler.implementation=Pass_Through
+Channels_1C.count=8
+Channel.signal=1C
+Acquisition_1C.implementation=GPS_L1_CA_PCPS_Acquisition
+Acquisition_1C.coherent_integration_time_ms=1
+Acquisition_1C.pfa=0.01
+Acquisition_1C.doppler_max=5000
+Acquisition_1C.doppler_step=250
+Acquisition_1C.max_dwells=2
+Tracking_1C.implementation=GPS_L1_CA_DLL_PLL_Tracking
+Tracking_1C.pll_bw_hz=35.0
+Tracking_1C.dll_bw_hz=2.0
+TelemetryDecoder_1C.implementation=GPS_L1_CA_Telemetry_Decoder
+Observables.implementation=Hybrid_Observables
+PVT.implementation=RTKLIB_PVT
+PVT.output_rate_ms=20
+"""
+
+
+def test_factory_parses_reference_conf():
+    """The factory must accept an actual reference conf file's keys."""
+    conf = FileConfiguration(
+        "/root/reference/conf/gnss-sdr_GPS_L1_ishort.conf")
+    src = source_from_config(conf)
+    assert src.item_type == "ishort"
+    assert src.sampling_frequency == 4_000_000
+    rc = receiver_conf_from_config(conf)
+    assert rc.fs == 2_000_000
+    assert rc.max_channels == 8
+    assert rc.acq.doppler_max == 10_000
+    assert rc.trk.pll_bw_hz == 40.0
+    assert rc.trk.dll_bw_hz == 4.0
+    assert rc.trk.pll_filter_order == 3
+
+
+def test_cli_runs_receiver_from_conf(tmp_path, capsys):
+    x, _ = static_scenario_capture()
+    cap = tmp_path / "cap.ishort"
+    write_samples(cap, x[: int(2e6 * 8)], "ishort", scale=200.0)
+    conf = tmp_path / "rx.conf"
+    conf.write_text(textwrap.dedent(CONF.format(filename=cap)))
+    # 8 s: channels acquire + track, no ephemeris yet -> exit code 1
+    rc = main([f"--config_file={conf}"])
+    out = capsys.readouterr().out
+    assert "Channels: PRNs" in out
+    assert rc == 1
+    # at least 5 of the 6 simulated satellites picked up
+    line = [ln for ln in out.splitlines() if ln.startswith("Channels")][0]
+    n_prns = len(line.split("[")[1].rstrip("]").split(","))
+    assert n_prns >= 5
+
+
+def test_factory_rejects_unknown_blocks(tmp_path):
+    conf = tmp_path / "bad.conf"
+    conf.write_text("Acquisition_1C.implementation=Exotic_Acq\n")
+    with pytest.raises(NotImplementedError):
+        receiver_conf_from_config(FileConfiguration(conf))
