@@ -37,8 +37,8 @@ def read_samples(path: str | Path, item_type: str = "gr_complex",
     if dtype == np.complex64:
         return raw.astype(np.complex64)
     if interleaved:
-        raw = raw[: (len(raw) // 2) * 2].astype(np.float32)
-        return (raw[0::2] + 1j * raw[1::2]).astype(np.complex64)
+        from gnss_sim_receiver_tpu import native
+        return native.interleaved_to_cfloat(raw[: (len(raw) // 2) * 2])
     return raw.astype(np.float32).astype(np.complex64)
 
 
