@@ -1,0 +1,111 @@
+"""UDP monitor sinks (protobuf wire format).
+
+Equivalents of the reference's gnss_synchro_monitor GR sink
+(src/core/monitor/gnss_synchro_monitor.cc:73-90: every decimation_factor
+epochs, serialize the channel vector and send to the configured UDP
+endpoints) and monitor_pvt_udp_sink (PVT/libs/monitor_pvt_udp_sink.cc).
+"""
+
+from __future__ import annotations
+
+import socket
+
+import numpy as np
+
+from gnss_sim_receiver_tpu.models.outputs import geohash, gps_time_to_utc
+from gnss_sim_receiver_tpu.monitor import gnss_synchro_pb2, monitor_pvt_pb2
+from gnss_sim_receiver_tpu.utils import geodesy
+
+
+class _UdpSender:
+    def __init__(self, addresses, port: int):
+        self.targets = [(a, port) for a in addresses]
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+
+    def send(self, payload: bytes) -> None:
+        for t in self.targets:
+            self.sock.sendto(payload, t)
+
+
+class GnssSynchroUdpSink:
+    """Streams one Observables message per emitted epoch batch, decimated
+    like the reference (one message every `decimation_factor` epochs)."""
+
+    def __init__(self, addresses, port: int, prns, fs: float,
+                 decimation_factor: int = 1):
+        self.sender = _UdpSender(addresses, port)
+        self.prns = list(prns)
+        self.fs = fs
+        self.decim = max(int(decimation_factor), 1)
+        self._count = 0
+
+    def push_track_epochs(self, outs: dict, tlm_outs=None) -> int:
+        """Send decimated tracking epochs from a [T, C] output batch.
+        Returns number of datagrams sent."""
+        t_len = outs["prompt"].shape[0]
+        sent = 0
+        for e in range(t_len):
+            self._count += 1
+            if self._count % self.decim:
+                continue
+            msg = gnss_synchro_pb2.Observables()
+            for c, prn in enumerate(self.prns):
+                o = msg.observable.add()
+                o.system = "G"
+                o.signal = "1C"
+                o.prn = int(prn)
+                o.channel_id = c
+                o.fs = int(self.fs)
+                o.prompt_i = float(outs["prompt"][e, c].real)
+                o.prompt_q = float(outs["prompt"][e, c].imag)
+                o.cn0_db_hz = float(outs["cn0_db_hz"][e, c])
+                o.carrier_doppler_hz = float(
+                    outs["carrier_doppler_hz"][e, c])
+                o.carrier_phase_rads = float(
+                    outs["acc_phase_cycles"][e, c]) * 2.0 * np.pi
+                o.code_phase_samples = float(
+                    outs["code_phase_samples"][e, c])
+                o.tracking_sample_counter = int(
+                    outs["sample_counter"][e, c])
+                o.flag_valid_symbol_output = bool(outs["valid"][e, c])
+                o.correlation_length_ms = 1
+                if tlm_outs is not None and tlm_outs.tow_valid[e, c]:
+                    o.flag_valid_word = True
+                    o.tow_at_current_symbol_ms = int(
+                        tlm_outs.tow_at_epoch_ms[e, c])
+            self.sender.send(msg.SerializeToString())
+            sent += 1
+        return sent
+
+
+class MonitorPvtUdpSink:
+    """Streams one MonitorPvt message per PVT solution."""
+
+    def __init__(self, addresses, port: int, week: int = 0):
+        self.sender = _UdpSender(addresses, port)
+        self.week = week
+
+    def send_solution(self, sol) -> None:
+        m = monitor_pvt_pb2.MonitorPvt()
+        m.tow_at_current_symbol_ms = int(sol.rx_time_corrected_s * 1000) \
+            % 604800000
+        m.week = self.week
+        m.rx_time = float(sol.rx_time_corrected_s)
+        m.user_clk_offset = float(sol.rx_clock_bias_s)
+        m.pos_x, m.pos_y, m.pos_z = map(float, sol.rx_ecef_m)
+        m.vel_x, m.vel_y, m.vel_z = map(float, sol.rx_vel_ecef_ms)
+        lat, lon, h = geodesy.ecef_to_llh(sol.rx_ecef_m)
+        m.latitude = float(np.degrees(lat))
+        m.longitude = float(np.degrees(lon))
+        m.height = float(h)
+        m.valid_sats = int(sol.n_sats)
+        m.gdop, m.pdop, m.hdop, m.vdop = (float(sol.gdop), float(sol.pdop),
+                                          float(sol.hdop), float(sol.vdop))
+        m.user_clk_drift_ppm = float(sol.rx_clock_drift_ss) * 1e6
+        m.utc_time = gps_time_to_utc(self.week,
+                                     sol.rx_time_corrected_s).isoformat()
+        enu = geodesy.ecef_to_enu_matrix(lat, lon) @ np.asarray(
+            sol.rx_vel_ecef_ms)
+        m.vel_e, m.vel_n, m.vel_u = map(float, enu)
+        m.geohash = geohash(np.degrees(lat), np.degrees(lon))
+        self.sender.send(m.SerializeToString())

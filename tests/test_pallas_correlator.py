@@ -1,12 +1,12 @@
-"""Pallas fused correlator vs the XLA reference path (interpret mode on
-CPU; the real lowering is exercised on TPU by bench/driver)."""
+"""Pallas fused rotator+dot-product kernel vs the XLA reference path
+(interpret mode on CPU; real lowering exercised on TPU by bench)."""
 
 import jax.numpy as jnp
 import numpy as np
 
 from gnss_sim_receiver_tpu.ops import correlator, prn_codes
-from gnss_sim_receiver_tpu.ops.pallas_correlator import (pack_code_tables,
-                                                         pallas_correlate)
+from gnss_sim_receiver_tpu.ops.pallas_correlator import (
+    pallas_rotator_dot_prod, resample_codes_xla)
 
 FS = 2_000_000.0
 
@@ -27,12 +27,12 @@ def test_pallas_matches_xla_correlator():
     rem_carr = np.array([0.0, 1.0, 3.0, 6.0], np.float32)
     doppler = np.array([1000.0, -2000.0, 0.0, 3000.0], np.float32)
     n_samp = np.array([1955, 2000, 1800, 2002], np.int32)
-    taps = (0.25, 0.0, -0.25)
+    taps = np.array([0.25, 0.0, -0.25], np.float32)
 
+    blocks = correlator.gather_blocks(jnp.asarray(x), jnp.asarray(positions),
+                                      block)
     ref = correlator.correlate_multitap(
-        correlator.gather_blocks(jnp.asarray(x), jnp.asarray(positions),
-                                 block),
-        jnp.asarray(codes), jnp.asarray(np.array(taps, np.float32)),
+        blocks, jnp.asarray(codes), jnp.asarray(taps),
         jnp.asarray(rem_code), jnp.asarray(code_freq),
         jnp.asarray(rem_carr), jnp.asarray(doppler),
         jnp.asarray(n_samp), FS)
@@ -43,16 +43,11 @@ def test_pallas_matches_xla_correlator():
     params[:, 2] = rem_carr
     params[:, 3] = doppler
     params[:, 4] = n_samp.astype(np.float32)
-    out_re, out_im = pallas_correlate(
-        jnp.asarray(x.real.astype(np.float32)),
-        jnp.asarray(x.imag.astype(np.float32)),
-        jnp.asarray(positions), jnp.asarray(params),
-        jnp.asarray(pack_code_tables(codes)),
-        block_size=block, fs=FS, taps=taps, interpret=True)
-
-    got = np.asarray(out_re) + 1j * np.asarray(out_im)
-    want = np.asarray(ref)
-    # bf16 one-hot matmul carries code values exactly (+-1); accumulation
-    # order differs -> allow small tolerance relative to block energy
-    scale = np.sqrt(2048.0)
-    np.testing.assert_allclose(got / scale, want / scale, atol=2e-3)
+    code_mat = resample_codes_xla(jnp.asarray(codes), jnp.asarray(taps),
+                                  jnp.asarray(rem_code),
+                                  jnp.asarray(code_freq), block, FS)
+    got = pallas_rotator_dot_prod(blocks, code_mat, jnp.asarray(params),
+                                  fs=FS, interpret=True)
+    scale = np.sqrt(block)
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, atol=2e-3)
