@@ -54,7 +54,10 @@ def main(argv=None) -> int:
     t0 = time.time()
     run = rx.process_array(x)
     dt = time.time() - t0
-    print(f"Channels: PRNs {run.channel_prns}")
+    from gnss_sim_receiver_tpu.models.control import ChannelState
+    tracked = [p for p, s in zip(run.channel_prns, run.channel_states)
+               if s == ChannelState.TRACKING]
+    print(f"Channels: PRNs {tracked}")
     print(f"Ephemerides decoded: {sorted(run.ephemerides)}")
     print(f"Processed {len(x)/cond.fs_out:.1f} s of signal in {dt:.1f} s "
           f"({len(x)/cond.fs_out/dt:.1f}x realtime)")

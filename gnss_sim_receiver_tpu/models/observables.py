@@ -69,6 +69,11 @@ class ObservablesEngine:
         self._sm_last_ph = np.zeros(n_channels)
         self._sm_lock = np.zeros(n_channels, bool)
 
+    def reset_channel(self, c: int) -> None:
+        """Clear a channel's history (satellite reassignment)."""
+        self.hist[c] = dict(t=[], tow=[], dop=[], ph=[], cn0=[])
+        self._sm_lock[c] = False
+
     def push_epochs(self, track_outs: dict, tlm_outs) -> None:
         """Append a batch of per-epoch records ([T, C] arrays from tracking
         + telemetry)."""

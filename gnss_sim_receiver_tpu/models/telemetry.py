@@ -27,6 +27,7 @@ CODES_PER_BIT = 20
 class _ChannelTlmState:
     prompts_i: list = dataclasses.field(default_factory=list)
     epoch_count: int = 0
+    prompt_base: int = -1          # global epoch index of prompts_i[0]
     bit_phase: int | None = None        # epoch index mod 20 of bit starts
     transition_hist: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros(CODES_PER_BIT, np.int64))
@@ -54,6 +55,16 @@ class TelemetryDecoder:
         self.prns = [int(p) for p in prns]
         self.ch = [_ChannelTlmState() for _ in self.prns]
 
+    def reset_channel(self, c: int, prn: int | None = None,
+                      epoch_base: int | None = None) -> None:
+        """Restart a channel's bit/frame sync after satellite reassignment."""
+        st = _ChannelTlmState()
+        if epoch_base is not None:
+            st.epoch_count = epoch_base
+        self.ch[c] = st
+        if prn is not None:
+            self.prns[c] = int(prn)
+
     def process(self, track_outs: dict) -> TelemetryOutputs:
         """Consume tracking outputs ([T, C] arrays from
         TrackingEngine.process) and extend each channel's bit stream."""
@@ -75,6 +86,8 @@ class TelemetryDecoder:
                 if st.last_sign != 0.0 and s != st.last_sign:
                     st.transition_hist[idx % CODES_PER_BIT] += 1
                 st.last_sign = s
+                if not st.prompts_i:
+                    st.prompt_base = idx
                 st.prompts_i.append(pi)
                 st.epoch_count += 1
                 if st.bit_phase is None and st.epoch_count - base >= 200:
@@ -107,9 +120,10 @@ class TelemetryDecoder:
         st.bit_phase = top  # bits start at epochs where idx % 20 == top
 
     def _emit_bits(self, st: _ChannelTlmState, c: int, new_eph: list) -> None:
-        phase = st.bit_phase
-        # epoch index of bit k start: phase + 20k (global epoch indexing,
-        # because prompts_i[i] belongs to global epoch i when all valid)
+        # local list index of the first bit boundary: prompts_i[i] belongs
+        # to global epoch prompt_base + i (valid epochs are contiguous
+        # while a channel holds lock)
+        phase = (st.bit_phase - st.prompt_base) % CODES_PER_BIT
         nbits_avail = (len(st.prompts_i) - phase) // CODES_PER_BIT
         if nbits_avail <= st.n_bits_emitted:
             return
@@ -120,7 +134,8 @@ class TelemetryDecoder:
             bits.append(1 if acc >= 0 else 0)
         st.n_bits_emitted = nbits_avail
         for ev in st.frame.push_bits(bits):
-            sf_start_epoch = phase + ev.bit_index * CODES_PER_BIT
+            sf_start_epoch = (st.prompt_base + phase
+                              + ev.bit_index * CODES_PER_BIT)
             tow_sf_start_s = ev.tow_next_s - lnav.SUBFRAME_SECONDS
             st.anchor_epoch = sf_start_epoch
             st.anchor_tow_ms = tow_sf_start_s * 1000.0

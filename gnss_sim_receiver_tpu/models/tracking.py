@@ -262,11 +262,27 @@ class TrackingEngine:
         self.conf = conf
         self.prns = [int(p) for p in prns]
         self.n_channels = len(self.prns)
-        self.codes = jnp.asarray(prn_codes.gps_l1_ca_code_table(self.prns))
+        # prn <= 0 = unassigned channel (zero code row until reassignment)
+        self.codes = jnp.asarray(np.stack([
+            prn_codes.gps_l1_ca_code(p) if p > 0
+            else np.zeros(conf.code_length_chips, np.float32)
+            for p in self.prns]))
         d = conf.early_late_space_chips
         self.taps = jnp.asarray(np.array([+d / 2, 0.0, -d / 2], np.float32))
         self.state = _init_state(self.n_channels)
         self.abs_start = np.zeros(self.n_channels, np.int64)  # abs sample of pos==0
+
+    def set_channel_prn(self, ch: int, prn: int) -> None:
+        """Re-point a channel at a different satellite (channel/satellite
+        reassignment, gnss_flowgraph.cc apply_action): swaps the device
+        code-table row."""
+        self.prns[ch] = int(prn)
+        self.codes = self.codes.at[ch].set(
+            jnp.asarray(prn_codes.gps_l1_ca_code(int(prn))))
+
+    def stop_channel(self, ch: int) -> None:
+        self.state = self.state._replace(
+            active=self.state.active.at[ch].set(False))
 
     def start_tracking(self, ch: int, doppler_hz: float,
                        abs_code_start_sample: int) -> None:
@@ -318,7 +334,10 @@ class TrackingEngine:
         if len(x) < need:
             raise ValueError(f"need >= {need} samples, got {len(x)}")
         state = self.state._replace(pos=jnp.asarray(rel, jnp.int32))
-        x_dev = jnp.asarray(np.ascontiguousarray(x, dtype=np.complex64))
+        if isinstance(x, jax.Array):
+            x_dev = x   # already device-resident (uploaded once by caller)
+        else:
+            x_dev = jnp.asarray(np.ascontiguousarray(x, dtype=np.complex64))
         new_state, outs = track_chunk(self.conf, int(n_epochs), self.codes,
                                       self.taps, x_dev, state)
         # rebase back: abs position of next epoch start

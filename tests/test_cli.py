@@ -71,8 +71,8 @@ def test_cli_runs_receiver_from_conf(tmp_path, capsys):
     assert rc == 1
     # at least 5 of the 6 simulated satellites picked up
     line = [ln for ln in out.splitlines() if ln.startswith("Channels")][0]
-    n_prns = len(line.split("[")[1].rstrip("]").split(","))
-    assert n_prns >= 5
+    prns = [int(p) for p in line.split("[")[1].rstrip("]").split(",")]
+    assert len([p for p in prns if p > 0]) >= 5
 
 
 def test_factory_rejects_unknown_blocks(tmp_path):

@@ -30,7 +30,10 @@ def test_static_position_accuracy(scenario):
                                max_channels=8))
     run = rx.process_array(x)
 
-    assert len(run.channel_prns) == 6, run.channel_prns
+    from gnss_sim_receiver_tpu.models.control import ChannelState
+    tracked = [p for p, s in zip(run.channel_prns, run.channel_states)
+               if s == ChannelState.TRACKING]
+    assert sorted(tracked) == [1, 3, 4, 5, 9, 10], run.channel_prns
     assert len(run.ephemerides) >= 5, sorted(run.ephemerides)
     assert len(run.solutions) >= 5
 
