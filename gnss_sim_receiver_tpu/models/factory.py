@@ -107,12 +107,15 @@ def receiver_conf_from_config(config: Configuration) -> ReceiverConf:
     pvt = PvtConf(
         elevation_mask_deg=config.property("PVT.elevation_mask", 5.0),
         max_gdop=config.property("PVT.threshold_reject_GDOP", 30.0),
+        iono_model=config.property("PVT.iono_model", "OFF"),
+        trop_model=config.property("PVT.trop_model", "OFF"),
     )
     n_channels = config.property("Channels_1C.count", 8)
     return ReceiverConf(
         fs=fs, prns=tuple(range(1, 33)), max_channels=n_channels,
         acq=acq, trk=trk, obs=obs, pvt=pvt,
         output_rate_ms=config.property("PVT.output_rate_ms", 20),
+        enable_pvt_kf=config.property("PVT.enable_pvt_kf", False),
     )
 
 

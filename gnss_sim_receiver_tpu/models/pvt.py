@@ -28,6 +28,10 @@ class PvtConf:
     elevation_mask_deg: float = 5.0
     max_gdop: float = 30.0
     apply_tgd: bool = True
+    iono_model: str = "OFF"        # OFF | Broadcast (Klobuchar)
+    trop_model: str = "OFF"        # OFF | Saastamoinen
+    iono_alpha: tuple = (0.0, 0.0, 0.0, 0.0)
+    iono_beta: tuple = (0.0, 0.0, 0.0, 0.0)
 
 
 @dataclasses.dataclass
@@ -101,7 +105,26 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
             rng[k] = r
             h[k, :3] = -d / r
             h[k, 3] = 1.0
-        resid = pr - (rng + x[3] - C * sat_clk)
+        # atmospheric corrections once roughly converged (rtklib pntpos
+        # ionocorr/tropcorr)
+        atm = np.zeros(len(idx))
+        if it >= 3 and (conf.iono_model != "OFF"
+                        or conf.trop_model != "OFF"):
+            lat_i, lon_i, h_i = geodesy.ecef_to_llh(x[:3])
+            for k in range(len(idx)):
+                el, az = geodesy.elevation_azimuth(x[:3], sat_pos[k])
+                el = max(el, np.radians(5.0))
+                if conf.iono_model == "Broadcast":
+                    from gnss_sim_receiver_tpu.models.atmosphere import \
+                        klobuchar_delay
+                    atm[k] += klobuchar_delay(conf.iono_alpha,
+                                              conf.iono_beta, lat_i, lon_i,
+                                              el, az, tow_tx_s[k])
+                if conf.trop_model == "Saastamoinen":
+                    from gnss_sim_receiver_tpu.models.atmosphere import \
+                        saastamoinen_delay
+                    atm[k] += saastamoinen_delay(lat_i, h_i, el)
+        resid = pr - (rng + x[3] - C * sat_clk + atm)
         sel = el_mask_applied
         if sel.sum() < 4:
             return bad

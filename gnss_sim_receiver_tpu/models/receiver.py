@@ -40,6 +40,7 @@ class ReceiverConf:
     chunk_epochs: int = 1000
     output_rate_ms: int = 20
     reacq_interval_epochs: int = 1000  # retry cadence for empty channels
+    enable_pvt_kf: bool = False        # PVT.enable_pvt_kf (Pvt_Kf analogue)
 
     def __post_init__(self):
         if self.acq is None:
@@ -68,8 +69,15 @@ class Receiver:
         self.conf = conf
 
     def process_array(self, x: np.ndarray,
-                      collect_track_outputs: bool = False) -> ReceiverRun:
-        """Run the whole receiver over an in-memory sample array."""
+                      collect_track_outputs: bool = False,
+                      ephemerides: dict | None = None) -> ReceiverRun:
+        """Run the whole receiver over an in-memory sample array.
+
+        `ephemerides` ({prn: GpsEphemeris}) preloads assistance data for a
+        warm start (the reference's AGNSS / XML-assisted start,
+        control_thread.cc assist_GNSS + read_assistance_from_XML): PVT can
+        fix as soon as TOW is decoded, without waiting for subframes 1-3.
+        """
         conf = self.conf
         n_ch = conf.max_channels
         mgr = AcquisitionManager(conf.prns, n_ch,
@@ -77,9 +85,13 @@ class Receiver:
         trk = TrackingEngine(conf.trk, prns=[0] * n_ch)
         tlm = TelemetryDecoder(prns=[0] * n_ch)
         obs_eng = ObservablesEngine(conf.obs, n_channels=n_ch)
-        ephemerides = {}
+        ephemerides = dict(ephemerides or {})
         solutions = []
         obs_epochs = []
+        pvt_kf = None
+        if conf.enable_pvt_kf:
+            from gnss_sim_receiver_tpu.models.pvt_kf import PvtKf
+            pvt_kf = PvtKf()
         collected = [] if collect_track_outputs else None
         epoch_base = [0] * n_ch   # telemetry epoch counter base per channel
 
@@ -155,6 +167,8 @@ class Receiver:
                                     x0=None if last_fix is None
                                     else last_fix.rx_ecef_m)
                     if sol.valid:
+                        if pvt_kf is not None:
+                            pvt_kf.update(sol)
                         last_fix = sol
                         solutions.append(sol)
             else:

@@ -141,6 +141,25 @@ def fields_to_ephemeris(prn: int, f1: dict, f2: dict, f3: dict
     )
 
 
+def save_ephemerides(path, ephemerides: dict) -> None:
+    """Persist decoded ephemerides for warm/hot start — the role of the
+    reference's boost-serialization XML dumps (control_thread.cc:500-560,
+    gps_ephemeris.xml), as JSON."""
+    import json
+    out = {}
+    for prn, e in ephemerides.items():
+        out[str(prn)] = dataclasses.asdict(e)
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+
+
+def load_ephemerides(path) -> dict:
+    import json
+    with open(path) as fh:
+        raw = json.load(fh)
+    return {int(prn): GpsEphemeris(**fields) for prn, fields in raw.items()}
+
+
 def make_sky_constellation(rx_lat_deg: float, rx_lon_deg: float,
                            toe: float, week: int = 2200,
                            offsets_deg=None) -> list[GpsEphemeris]:

@@ -1,0 +1,99 @@
+"""Atmosphere models, PVT KF, .mat dumps (reference analogues: rtklib
+ionmodel/tropmodel, pvt_kf.cc, dump/matio tests)."""
+
+import numpy as np
+
+from gnss_sim_receiver_tpu.models.atmosphere import (klobuchar_delay,
+                                                     saastamoinen_delay)
+from gnss_sim_receiver_tpu.models.dumps import (dump_observables_mat,
+                                                dump_tracking_mat, load_mat)
+from gnss_sim_receiver_tpu.models.pvt import PvtSolution
+from gnss_sim_receiver_tpu.models.pvt_kf import PvtKf
+
+
+def test_saastamoinen_plausible():
+    # zenith total delay at sea level ~2.3-2.7 m; grows ~1/sin(el)
+    z = saastamoinen_delay(np.radians(40.0), 0.0, np.radians(90.0))
+    assert 2.0 < z < 3.0
+    low = saastamoinen_delay(np.radians(40.0), 0.0, np.radians(10.0))
+    assert 10.0 < low < 20.0
+    # decreases with altitude
+    hi = saastamoinen_delay(np.radians(40.0), 3000.0, np.radians(90.0))
+    assert hi < z
+
+
+def test_klobuchar_plausible():
+    # typical broadcast coefficients
+    alpha = (1.1176e-8, 7.4506e-9, -5.9605e-8, -5.9605e-8)
+    beta = (90112.0, 0.0, -196608.0, -65536.0)
+    d_zen = klobuchar_delay(alpha, beta, np.radians(40.0),
+                            np.radians(-75.0), np.radians(80.0),
+                            np.radians(120.0), 50400.0)  # local afternoon
+    assert 1.0 < d_zen < 30.0
+    d_low = klobuchar_delay(alpha, beta, np.radians(40.0),
+                            np.radians(-75.0), np.radians(10.0),
+                            np.radians(120.0), 50400.0)
+    assert d_low > d_zen  # obliquity increases slant delay
+    d_night = klobuchar_delay(alpha, beta, np.radians(40.0),
+                              np.radians(-75.0), np.radians(80.0),
+                              np.radians(120.0), 10000.0)
+    assert d_night < d_zen  # nighttime floor is smaller
+
+
+def _sol(t, pos, vel):
+    return PvtSolution(True, np.array(pos, float), 0.0,
+                       np.array(vel, float), 0.0, t, 2, 2, 1, 1, 6,
+                       np.zeros(6))
+
+
+def test_pvt_kf_smooths_noise():
+    rng = np.random.default_rng(0)
+    kf = PvtKf()
+    truth = np.array([1.2e6, -4.7e6, 4.0e6])
+    raw_errs, kf_errs = [], []
+    for i in range(100):
+        noisy = truth + rng.normal(0, 1.0, 3)
+        s = _sol(1000.0 + 0.02 * i, noisy, [0, 0, 0])
+        raw_errs.append(np.linalg.norm(noisy - truth))
+        kf.update(s)
+        if i > 20:
+            kf_errs.append(np.linalg.norm(s.rx_ecef_m - truth))
+    assert np.mean(kf_errs) < 0.6 * np.mean(raw_errs)
+
+
+def test_tracking_mat_dump_roundtrip(tmp_path):
+    t, c = 50, 2
+    outs = {
+        "prompt": (np.random.randn(t, c) + 1j * np.random.randn(t, c)
+                   ).astype(np.complex64),
+        "early_mag": np.abs(np.random.randn(t, c)).astype(np.float32),
+        "late_mag": np.abs(np.random.randn(t, c)).astype(np.float32),
+        "sample_counter": np.arange(t * c).reshape(t, c),
+        "acc_phase_cycles": np.random.randn(t, c),
+        "carrier_doppler_hz": np.random.randn(t, c),
+        "code_freq_cps": np.full((t, c), 1.023e6),
+        "code_phase_samples": np.random.randn(t, c),
+        "cn0_db_hz": np.full((t, c), 44.0),
+    }
+    dump_tracking_mat(tmp_path / "trk.mat", outs, channel=1)
+    m = load_mat(tmp_path / "trk.mat")
+    np.testing.assert_allclose(m["Prompt_I"].ravel(),
+                               outs["prompt"][:, 1].real, rtol=1e-6)
+    assert "CN0_SNV_dB_Hz" in m and "abs_E" in m
+
+
+def test_observables_mat_dump(tmp_path):
+    from gnss_sim_receiver_tpu.models.observables import ObservationEpoch
+    eps = [ObservationEpoch(
+        rx_time_s=100.0 + 0.02 * i, tick_sample=i,
+        valid=np.array([True, False]),
+        pseudorange_m=np.array([2.1e7, 0.0]),
+        interp_tow_ms=np.array([1e8, 0.0]),
+        carrier_doppler_hz=np.array([100.0, 0.0]),
+        carrier_phase_cycles=np.array([5.0, 0.0]),
+        cn0_db_hz=np.array([45.0, 0.0])) for i in range(4)]
+    dump_observables_mat(tmp_path / "obs.mat", eps, n_channels=2)
+    m = load_mat(tmp_path / "obs.mat")
+    assert m["Pseudorange_m"].shape == (2, 4)
+    assert m["valid_pseudoranges"][0].all()
+    assert not m["valid_pseudoranges"][1].any()

@@ -1,0 +1,55 @@
+"""TTFF system test + warm-start assistance (reference analogues:
+src/tests/system-tests/ttff.cc and control_thread.cc assist_GNSS /
+read_assistance_from_XML)."""
+
+import numpy as np
+import pytest
+
+from gnss_sim_receiver_tpu.models.receiver import Receiver, ReceiverConf
+from gnss_sim_receiver_tpu.nav.ephemeris import (load_ephemerides,
+                                                 make_sky_constellation,
+                                                 save_ephemerides)
+from tests.fixtures import FS, RX_LLH, T0, static_scenario_capture
+
+
+@pytest.fixture(scope="module")
+def scenario():
+    return static_scenario_capture()
+
+
+def _ttff(run):
+    if not run.solutions:
+        return None
+    # receiver time of first fix relative to stream start (rx clock ~ GPS)
+    return run.observation_epochs[-len(run.solutions)].tick_sample / FS \
+        if False else run.solutions[0].rx_time_corrected_s - T0
+
+
+def test_cold_ttff(scenario):
+    x, _ = scenario
+    run = Receiver(ReceiverConf(fs=FS, prns=tuple(range(1, 11)),
+                                max_channels=8)).process_array(x)
+    ttff = _ttff(run)
+    assert ttff is not None, "no fix -> infinite TTFF"
+    # cold start needs subframes 1-3 -> first fix after 18 s, within file
+    assert 18.0 < ttff < 26.0, ttff
+
+
+def test_warm_start_ttff_beats_cold(scenario, tmp_path):
+    x, _ = scenario
+    ephs = {e.prn: e for e in make_sky_constellation(RX_LLH[0], RX_LLH[1],
+                                                     toe=T0 + 600)}
+    # persist + reload (the XML-assistance roundtrip, here JSON)
+    save_ephemerides(tmp_path / "eph.json", ephs)
+    loaded = load_ephemerides(tmp_path / "eph.json")
+    assert loaded[1].sqrt_a == ephs[1].sqrt_a
+    assert loaded[3].m0_sc == ephs[3].m0_sc
+
+    run = Receiver(ReceiverConf(fs=FS, prns=tuple(range(1, 11)),
+                                max_channels=8)
+                   ).process_array(x[: int(FS * 14)], ephemerides=loaded)
+    ttff = _ttff(run)
+    assert ttff is not None, "warm start produced no fix in 14 s"
+    # fix as soon as TOW decodes (first full subframe + sync): << 14 s
+    assert ttff < 14.0, ttff
+    assert len(run.solutions) >= 5
