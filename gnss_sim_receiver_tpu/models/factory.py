@@ -85,6 +85,8 @@ def receiver_conf_from_config(config: Configuration) -> ReceiverConf:
         raise NotImplementedError(f"tracking {trk_impl}")
     trk = TrackingConf(
         fs=fs,
+        tracking_mode=("kf" if trk_impl == "GPS_L1_CA_KF_Tracking"
+                       else "dll_pll"),
         pll_bw_hz=config.property("Tracking_1C.pll_bw_hz", 35.0),
         dll_bw_hz=config.property("Tracking_1C.dll_bw_hz", 2.0),
         pll_filter_order=config.property("Tracking_1C.order", 3),

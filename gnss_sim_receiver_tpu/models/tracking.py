@@ -53,6 +53,18 @@ class TrackingConf:
     cn0_min_db_hz: float = 25.0
     carrier_lock_threshold: float = 0.75
     max_lock_fail: int = 50
+    # tracking_mode "kf": joint code/carrier Kalman tracker replacing the
+    # DLL/PLL loop filters (reference kf_tracking,
+    # tracking/gnuradio_blocks/kf_tracking.cc, state
+    # [code phase, carrier phase, Doppler, Doppler rate],
+    # kf_tracking.h:128-129)
+    tracking_mode: str = "dll_pll"     # "dll_pll" | "kf"
+    kf_q_code_chips2: float = 1e-4
+    kf_q_phase_cyc2: float = 1e-6
+    kf_q_dop_hz2: float = 1.0
+    kf_q_doprate_hz2s2: float = 10.0
+    kf_r_code_chips2: float = 2e-3
+    kf_r_phase_cyc2: float = 5e-4
 
     @property
     def t_epoch_nominal_s(self) -> float:
@@ -88,6 +100,8 @@ class TrackState(NamedTuple):
     carrier_lock: jnp.ndarray      # float32
     lock_fail: jnp.ndarray         # float32
     lock_lost: jnp.ndarray         # bool
+    kf_p: jnp.ndarray              # [C, 4, 4] KF covariance (kf mode)
+    kf_fdot: jnp.ndarray           # [C] Doppler rate estimate (kf mode)
 
 
 def _init_state(n_channels: int) -> TrackState:
@@ -103,7 +117,112 @@ def _init_state(n_channels: int) -> TrackState:
         cn0_acc=cn0_ops.init_accum(n_channels),
         cn0_db_hz=z(), carrier_lock=z(), lock_fail=z(),
         lock_lost=z(bool),
+        kf_p=jnp.tile(jnp.diag(jnp.asarray(
+            [0.1, 0.1, 100.0, 10.0], jnp.float32))[None],
+            (n_channels, 1, 1)),
+        kf_fdot=z(),
     )
+
+
+def _dll_pll_update(conf: TrackingConf, state: TrackState, prompt,
+                    carr_err_cyc, code_err_chips, t_int):
+    """Classic loop closure (run_dll_pll :1065-1152): FLL-assisted PLL +
+    carrier-aided DLL."""
+    if conf.pll_filter_order == 3:
+        wn = jnp.float32(conf.pll_bw_hz / 0.7845)
+        pll_acc = state.pll.acc + wn * wn * wn * t_int * carr_err_cyc
+        pll_vel = state.pll.vel + t_int * (pll_acc
+                                           + 1.1 * wn * wn * carr_err_cyc)
+        out_gain = 2.4 * wn
+    else:
+        wn = jnp.float32(conf.pll_bw_hz / 0.53)
+        pll_acc = state.pll.acc
+        pll_vel = state.pll.vel + wn * wn * t_int * carr_err_cyc
+        out_gain = 1.414213562 * wn
+    # FLL assist during pull-in: nudge the frequency integrator directly
+    # (reference FLL-assisted-PLL pull-in mode, run_dll_pll :1080-1099).
+    if conf.enable_fll_pullin:
+        freq_err = discriminators.fll_cross_dot(
+            state.prompt_prev, prompt, t_int)
+        in_pullin = (state.epoch > 0) & (state.epoch < conf.fll_pullin_epochs)
+        pll_vel = jnp.where(
+            in_pullin,
+            pll_vel + 4.0 * jnp.float32(conf.fll_bw_hz) * t_int * freq_err,
+            pll_vel)
+    pll_new = lf.LoopFilterState(vel=pll_vel, acc=pll_acc)
+    carrier_doppler = pll_vel + out_gain * carr_err_cyc
+    # DLL with carrier aiding (:1126-1129)
+    dll_new, dll_out = lf.second_order_step(
+        state.dll, code_err_chips, jnp.float32(conf.dll_bw_hz), t_int)
+    code_freq = (jnp.float32(conf.code_rate_cps)
+                 * (1.0 + carrier_doppler / jnp.float32(conf.carrier_freq_hz))
+                 + dll_out)
+    return carrier_doppler, code_freq, pll_new, dll_new
+
+
+def _kf_update(conf: TrackingConf, state: TrackState, prompt,
+               carr_err_cyc, code_err_chips, t_int):
+    """Joint code/carrier error-state Kalman tracker (reference kf_tracking,
+    state [code phase err (chips), carrier phase err (cycles), Doppler
+    (Hz), Doppler rate (Hz/s)], kf_tracking.h:128-176), vectorized over
+    channels with the covariance carried through the scan.
+
+    Phase errors are fed back into the NCO remnants every epoch and
+    re-zeroed (feedback form), so the filter state reduces to
+    (Doppler, Doppler rate) + the 4x4 covariance."""
+    beta = jnp.float32(conf.code_rate_cps / conf.carrier_freq_hz)
+    dt = t_int
+    c = dt.shape[0]
+    eye4 = jnp.eye(4, dtype=jnp.float32)
+    f = jnp.tile(eye4[None], (c, 1, 1))
+    f = f.at[:, 0, 2].set(beta * dt)
+    f = f.at[:, 0, 3].set(beta * dt * dt / 2.0)
+    f = f.at[:, 1, 2].set(dt)
+    f = f.at[:, 1, 3].set(dt * dt / 2.0)
+    f = f.at[:, 2, 3].set(dt)
+    q = jnp.diag(jnp.asarray([conf.kf_q_code_chips2, conf.kf_q_phase_cyc2,
+                              conf.kf_q_dop_hz2, conf.kf_q_doprate_hz2s2],
+                             jnp.float32))
+    p_pred = jnp.einsum("cij,cjk,clk->cil", f, state.kf_p, f) + q[None]
+    # H = [[1,0,0,0],[0,1,0,0]] -> S = P[:2,:2] + R (2x2 explicit inverse)
+    r0 = jnp.float32(conf.kf_r_code_chips2)
+    r1 = jnp.float32(conf.kf_r_phase_cyc2)
+    s00 = p_pred[:, 0, 0] + r0
+    s01 = p_pred[:, 0, 1]
+    s11 = p_pred[:, 1, 1] + r1
+    det = jnp.maximum(s00 * s11 - s01 * s01, 1e-20)
+    si00 = s11 / det
+    si01 = -s01 / det
+    si11 = s00 / det
+    ph = p_pred[:, :, :2]                                    # [C,4,2]
+    k0 = ph[:, :, 0] * si00[:, None] + ph[:, :, 1] * si01[:, None]
+    k1 = ph[:, :, 0] * si01[:, None] + ph[:, :, 1] * si11[:, None]
+    k = jnp.stack([k0, k1], axis=-1)                         # [C,4,2]
+    # innovation = measurements (predicted phase errors are zero after
+    # feedback)
+    dx = k[:, :, 0] * code_err_chips[:, None] \
+        + k[:, :, 1] * carr_err_cyc[:, None]                 # [C,4]
+    # P = (I - K H) P'
+    kh = jnp.zeros((c, 4, 4), jnp.float32)
+    kh = kh.at[:, :, 0].set(k[:, :, 0])
+    kh = kh.at[:, :, 1].set(k[:, :, 1])
+    p_new = jnp.einsum("cij,cjk->cik", eye4[None] - kh, p_pred)
+    dtau = dx[:, 0]
+    dphi = dx[:, 1]
+    doppler = state.carrier_doppler + state.kf_fdot * dt + dx[:, 2]
+    fdot = state.kf_fdot + dx[:, 3]
+    # FLL assist during pull-in, same as the scalar loops
+    if conf.enable_fll_pullin:
+        freq_err = discriminators.fll_cross_dot(
+            state.prompt_prev, prompt, t_int)
+        in_pullin = (state.epoch > 0) & (state.epoch < conf.fll_pullin_epochs)
+        doppler = jnp.where(
+            in_pullin,
+            doppler + 4.0 * jnp.float32(conf.fll_bw_hz) * t_int * freq_err,
+            doppler)
+    code_freq = (jnp.float32(conf.code_rate_cps)
+                 * (1.0 + doppler / jnp.float32(conf.carrier_freq_hz)))
+    return doppler, code_freq, dtau, dphi, p_new, fdot
 
 
 def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
@@ -125,48 +244,31 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         state.rem_carr_phase, state.carrier_doppler, n_c, fs)
     early, prompt, late = corr[:, 0], corr[:, 1], corr[:, 2]
 
-    # --- loop closure (run_dll_pll :1065) ----------------------------------
-    # PLL: Costas discriminator in cycles; 3rd-order filter whose first
-    # integrator carries the Doppler estimate (initialized at handoff).
+    # --- loop closure (run_dll_pll :1065, or the kf_tracking KF) -----------
     carr_err_cyc = discriminators.pll_costas(prompt) / (2.0 * jnp.pi)
-    if conf.pll_filter_order == 3:
-        wn = jnp.float32(conf.pll_bw_hz / 0.7845)
-        pll_acc = state.pll.acc + wn * wn * wn * t_int * carr_err_cyc
-        pll_vel = state.pll.vel + t_int * (pll_acc
-                                           + 1.1 * wn * wn * carr_err_cyc)
-        out_gain = 2.4 * wn
-    else:
-        wn = jnp.float32(conf.pll_bw_hz / 0.53)
-        pll_acc = state.pll.acc
-        pll_vel = state.pll.vel + wn * wn * t_int * carr_err_cyc
-        out_gain = 1.414213562 * wn
-
-    # FLL assist during pull-in: nudge the frequency integrator directly
-    # (reference FLL-assisted-PLL pull-in mode, run_dll_pll :1080-1099).
-    if conf.enable_fll_pullin:
-        freq_err = discriminators.fll_cross_dot(
-            state.prompt_prev, prompt, t_int)
-        in_pullin = (state.epoch > 0) & (state.epoch < conf.fll_pullin_epochs)
-        pll_vel = jnp.where(
-            in_pullin,
-            pll_vel + 4.0 * jnp.float32(conf.fll_bw_hz) * t_int * freq_err,
-            pll_vel)
-    pll_new = lf.LoopFilterState(vel=pll_vel, acc=pll_acc)
-    carrier_doppler = pll_vel + out_gain * carr_err_cyc
-
-    # DLL with carrier aiding (:1126-1129)
     code_err_chips = discriminators.dll_nc_e_minus_l_normalized(
         jnp.abs(early), jnp.abs(late),
         jnp.float32(conf.early_late_space_chips))
-    dll_new, dll_out = lf.second_order_step(
-        state.dll, code_err_chips, jnp.float32(conf.dll_bw_hz), t_int)
-    code_freq = (jnp.float32(conf.code_rate_cps)
-                 * (1.0 + carrier_doppler / jnp.float32(conf.carrier_freq_hz))
-                 + dll_out)
+    if conf.tracking_mode == "kf":
+        (carrier_doppler, code_freq, dtau_chips, dphi_cyc, kf_p_new,
+         kf_fdot_new) = _kf_update(conf, state, prompt, carr_err_cyc,
+                                   code_err_chips, t_int)
+        pll_new = lf.LoopFilterState(vel=carrier_doppler,
+                                     acc=state.pll.acc)
+        dll_new = state.dll
+    else:
+        dtau_chips = jnp.zeros_like(carr_err_cyc)
+        dphi_cyc = jnp.zeros_like(carr_err_cyc)
+        kf_p_new, kf_fdot_new = state.kf_p, state.kf_fdot
+        carrier_doppler, code_freq, pll_new, dll_new = _dll_pll_update(
+            conf, state, prompt, carr_err_cyc, code_err_chips, t_int)
 
-    # --- NCO phase carry (with the freqs USED this epoch, for continuity) --
-    rem_code = (state.rem_code_phase + state.code_freq * t_int - code_len)
-    carr_adv_cycles = state.carrier_doppler * t_int
+    # --- NCO phase carry (with the freqs USED this epoch, for continuity;
+    # the KF additionally feeds its phase-error estimates straight into the
+    # NCO remnants — the error-state feedback form of kf_tracking) ---------
+    rem_code = (state.rem_code_phase + state.code_freq * t_int - code_len
+                + dtau_chips)
+    carr_adv_cycles = state.carrier_doppler * t_int + dphi_cyc
     rem_carr = jnp.mod(state.rem_carr_phase
                        + 2.0 * jnp.pi * carr_adv_cycles, 2.0 * jnp.pi)
     # Kahan accumulation of total carrier cycles
@@ -217,6 +319,8 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         carrier_lock=sel(carrier_lock, state.carrier_lock),
         lock_fail=sel(fail, state.lock_fail),
         lock_lost=sel(lost, state.lock_lost),
+        kf_p=jnp.where(act[:, None, None], kf_p_new, state.kf_p),
+        kf_fdot=sel(kf_fdot_new, state.kf_fdot),
     )
     outputs = {
         "prompt": prompt,
@@ -312,6 +416,9 @@ class TrackingEngine:
             "carrier_lock": s.carrier_lock.at[ch].set(0.0),
             "lock_fail": s.lock_fail.at[ch].set(0.0),
             "lock_lost": s.lock_lost.at[ch].set(False),
+            "kf_p": s.kf_p.at[ch].set(jnp.diag(jnp.asarray(
+                [0.1, 0.1, 100.0, 10.0], jnp.float32))),
+            "kf_fdot": s.kf_fdot.at[ch].set(0.0),
         }
         self.state = s._replace(**upd)
         self.abs_start[ch] = int(abs_code_start_sample)
