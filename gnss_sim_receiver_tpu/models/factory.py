@@ -97,6 +97,12 @@ def receiver_conf_from_config(config: Configuration) -> ReceiverConf:
         fll_bw_hz=config.property("Tracking_1C.fll_bw_hz", 15.0),
         cn0_min_db_hz=config.property("Tracking_1C.cn0_min", 25.0),
         max_lock_fail=config.property("Tracking_1C.max_lock_fail", 50),
+        extend_correlation_symbols=config.property(
+            "Tracking_1C.extend_correlation_symbols", 1),
+        pll_bw_narrow_hz=config.property("Tracking_1C.pll_bw_narrow_hz",
+                                         15.0),
+        dll_bw_narrow_hz=config.property("Tracking_1C.dll_bw_narrow_hz",
+                                         0.5),
     )
 
     obs = ObsConf(

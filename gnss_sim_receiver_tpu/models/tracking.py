@@ -59,6 +59,15 @@ class TrackingConf:
     # [code phase, carrier phase, Doppler, Doppler rate],
     # kf_tracking.h:128-129)
     tracking_mode: str = "dll_pll"     # "dll_pll" | "kf"
+    # extended coherent integration (reference tracking states 2->3->4,
+    # dll_pll_veml_tracking.cc:1789-2027 + extend_correlation_symbols):
+    # after on-device bit sync, prompts are summed coherently over
+    # extend_correlation_symbols epochs (divisor of 20) and the loops close
+    # at that cadence with the narrow bandwidths.
+    extend_correlation_symbols: int = 1
+    pll_bw_narrow_hz: float = 15.0
+    dll_bw_narrow_hz: float = 0.5
+    bit_sync_min_transitions: int = 16
     kf_q_code_chips2: float = 1e-4
     kf_q_phase_cyc2: float = 1e-6
     kf_q_dop_hz2: float = 1.0
@@ -102,6 +111,14 @@ class TrackState(NamedTuple):
     lock_lost: jnp.ndarray         # bool
     kf_p: jnp.ndarray              # [C, 4, 4] KF covariance (kf mode)
     kf_fdot: jnp.ndarray           # [C] Doppler rate estimate (kf mode)
+    bit_hist: jnp.ndarray          # [C, 20] sign-transition histogram
+    prev_sign: jnp.ndarray         # [C] last prompt-I sign
+    bit_synced: jnp.ndarray        # [C] bool
+    bit_phase: jnp.ndarray         # [C] int32 epoch%20 of bit starts
+    ext_p: jnp.ndarray             # [C] complex64 coherent P accumulator
+    ext_e: jnp.ndarray             # [C] complex64 coherent E accumulator
+    ext_l: jnp.ndarray             # [C] complex64 coherent L accumulator
+    ext_n: jnp.ndarray             # [C] int32 symbols accumulated
 
 
 def _init_state(n_channels: int) -> TrackState:
@@ -121,27 +138,35 @@ def _init_state(n_channels: int) -> TrackState:
             [0.1, 0.1, 100.0, 10.0], jnp.float32))[None],
             (n_channels, 1, 1)),
         kf_fdot=z(),
+        bit_hist=jnp.zeros((n_channels, 20), jnp.float32),
+        prev_sign=z(), bit_synced=z(bool), bit_phase=z(jnp.int32),
+        ext_p=z(jnp.complex64), ext_e=z(jnp.complex64),
+        ext_l=z(jnp.complex64), ext_n=z(jnp.int32),
     )
 
 
 def _dll_pll_update(conf: TrackingConf, state: TrackState, prompt,
-                    carr_err_cyc, code_err_chips, t_int):
+                    carr_err_cyc, code_err_chips, t_int,
+                    pll_bw_hz=None, dll_bw_hz=None, apply_fll=True):
     """Classic loop closure (run_dll_pll :1065-1152): FLL-assisted PLL +
-    carrier-aided DLL."""
+    carrier-aided DLL.  Bandwidth overrides serve the narrow (extended
+    coherent integration) mode."""
+    pll_bw = conf.pll_bw_hz if pll_bw_hz is None else pll_bw_hz
+    dll_bw = conf.dll_bw_hz if dll_bw_hz is None else dll_bw_hz
     if conf.pll_filter_order == 3:
-        wn = jnp.float32(conf.pll_bw_hz / 0.7845)
+        wn = jnp.float32(pll_bw / 0.7845)
         pll_acc = state.pll.acc + wn * wn * wn * t_int * carr_err_cyc
         pll_vel = state.pll.vel + t_int * (pll_acc
                                            + 1.1 * wn * wn * carr_err_cyc)
         out_gain = 2.4 * wn
     else:
-        wn = jnp.float32(conf.pll_bw_hz / 0.53)
+        wn = jnp.float32(pll_bw / 0.53)
         pll_acc = state.pll.acc
         pll_vel = state.pll.vel + wn * wn * t_int * carr_err_cyc
         out_gain = 1.414213562 * wn
     # FLL assist during pull-in: nudge the frequency integrator directly
     # (reference FLL-assisted-PLL pull-in mode, run_dll_pll :1080-1099).
-    if conf.enable_fll_pullin:
+    if conf.enable_fll_pullin and apply_fll:
         freq_err = discriminators.fll_cross_dot(
             state.prompt_prev, prompt, t_int)
         in_pullin = (state.epoch > 0) & (state.epoch < conf.fll_pullin_epochs)
@@ -153,7 +178,7 @@ def _dll_pll_update(conf: TrackingConf, state: TrackState, prompt,
     carrier_doppler = pll_vel + out_gain * carr_err_cyc
     # DLL with carrier aiding (:1126-1129)
     dll_new, dll_out = lf.second_order_step(
-        state.dll, code_err_chips, jnp.float32(conf.dll_bw_hz), t_int)
+        state.dll, code_err_chips, jnp.float32(dll_bw), t_int)
     code_freq = (jnp.float32(conf.code_rate_cps)
                  * (1.0 + carrier_doppler / jnp.float32(conf.carrier_freq_hz))
                  + dll_out)
@@ -263,6 +288,77 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         carrier_doppler, code_freq, pll_new, dll_new = _dll_pll_update(
             conf, state, prompt, carr_err_cyc, code_err_chips, t_int)
 
+    # --- extended coherent integration (states 2->3->4) --------------------
+    k_ext = conf.extend_correlation_symbols
+    if k_ext > 1 and conf.tracking_mode != "kf":
+        assert 20 % k_ext == 0, "extend_correlation_symbols must divide 20"
+        # on-device bit sync: histogram of prompt-I sign transitions over
+        # epoch%20 (the batched form of the reference's 20-symbol pattern
+        # sync, dll_pll_veml_tracking.cc:1852-1867)
+        sign = jnp.where(jnp.real(prompt) >= 0, 1.0, -1.0)
+        flip = (state.prev_sign != 0.0) & (sign != state.prev_sign)
+        idx20 = jnp.mod(state.epoch, 20)
+        onehot = (jnp.arange(20, dtype=jnp.int32)[None, :]
+                  == idx20[:, None]).astype(jnp.float32)
+        hist = state.bit_hist + jnp.where(
+            ((~state.bit_synced) & flip)[:, None], onehot, 0.0)
+        peak = hist.max(axis=-1)
+        arg = jnp.argmax(hist, axis=-1)
+        peak_mask = (jnp.arange(20, dtype=jnp.int32)[None, :]
+                     == arg[:, None])
+        second = jnp.max(jnp.where(peak_mask, 0.0, hist), axis=-1)
+        # dominance test: sign errors scatter spurious transitions across
+        # all bins, so require the top bin to clearly dominate the runner-up
+        newly = (~state.bit_synced) \
+            & (peak >= conf.bit_sync_min_transitions) \
+            & (peak >= 4.0 * jnp.maximum(second, 1.0))
+        bit_synced = state.bit_synced | newly
+        bit_phase = jnp.where(newly, jnp.argmax(hist, axis=-1).astype(
+            jnp.int32), state.bit_phase)
+        ext_on = bit_synced & (state.epoch >= conf.fll_pullin_epochs)
+        at_bit_start = idx20 == bit_phase
+        restart = at_bit_start | (state.ext_n <= 0)
+        ext_p = jnp.where(ext_on, jnp.where(restart, prompt,
+                                            state.ext_p + prompt), 0.0)
+        ext_e = jnp.where(ext_on, jnp.where(restart, early,
+                                            state.ext_e + early), 0.0)
+        ext_l = jnp.where(ext_on, jnp.where(restart, late,
+                                            state.ext_l + late), 0.0)
+        ext_n = jnp.where(ext_on,
+                          jnp.where(restart, 1, state.ext_n + 1), 0)
+        close_now = ext_on & (ext_n == k_ext)
+        # narrow-bandwidth closure on the coherent sums
+        carr_err_ext = discriminators.pll_costas(ext_p) / (2.0 * jnp.pi)
+        code_err_ext = discriminators.dll_nc_e_minus_l_normalized(
+            jnp.abs(ext_e), jnp.abs(ext_l),
+            jnp.float32(conf.early_late_space_chips))
+        dop_ext, cf_ext, pll_ext, dll_ext = _dll_pll_update(
+            conf, state, prompt, carr_err_ext, code_err_ext,
+            t_int * k_ext, pll_bw_hz=conf.pll_bw_narrow_hz,
+            dll_bw_hz=conf.dll_bw_narrow_hz, apply_fll=False)
+        # select per channel: wide (pre-sync) | closed-extended | hold
+        def sel3(wide_v, ext_v, hold_v):
+            return jnp.where(~ext_on, wide_v,
+                             jnp.where(close_now, ext_v, hold_v))
+        carrier_doppler = sel3(carrier_doppler, dop_ext,
+                               state.carrier_doppler)
+        code_freq = sel3(code_freq, cf_ext, state.code_freq)
+        pll_new = jax.tree.map(sel3, pll_new, pll_ext, state.pll)
+        dll_new = jax.tree.map(sel3, dll_new, dll_ext, state.dll)
+        ext_state_new = dict(
+            bit_hist=hist, prev_sign=sign, bit_synced=bit_synced,
+            bit_phase=bit_phase,
+            ext_p=jnp.where(close_now, 0.0, ext_p),
+            ext_e=jnp.where(close_now, 0.0, ext_e),
+            ext_l=jnp.where(close_now, 0.0, ext_l),
+            ext_n=jnp.where(close_now, 0, ext_n))
+    else:
+        ext_state_new = dict(
+            bit_hist=state.bit_hist, prev_sign=state.prev_sign,
+            bit_synced=state.bit_synced, bit_phase=state.bit_phase,
+            ext_p=state.ext_p, ext_e=state.ext_e, ext_l=state.ext_l,
+            ext_n=state.ext_n)
+
     # --- NCO phase carry (with the freqs USED this epoch, for continuity;
     # the KF additionally feeds its phase-error estimates straight into the
     # NCO remnants — the error-state feedback form of kf_tracking) ---------
@@ -281,7 +377,9 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
     acc = cn0_ops.accumulate(state.cn0_acc, prompt)
     window_done = jnp.mod(state.epoch + 1, conf.cn0_window_epochs) == 0
     cn0_new = cn0_ops.cn0_m2m4_estimate(acc, t_int)
-    lock_new = cn0_ops.carrier_lock_value(acc)
+    # exponentially smoothed lock test (reference Exponential_Smoother on
+    # d_carrier_lock_test, dll_pll_veml_tracking.cc:549-553)
+    lock_new = 0.75 * state.carrier_lock + 0.25 * cn0_ops.carrier_lock_value(acc)
     cn0_db = jnp.where(window_done, cn0_new, state.cn0_db_hz)
     carrier_lock = jnp.where(window_done, lock_new, state.carrier_lock)
     in_transitory = state.epoch < conf.fll_pullin_epochs
@@ -321,6 +419,15 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         lock_lost=sel(lost, state.lock_lost),
         kf_p=jnp.where(act[:, None, None], kf_p_new, state.kf_p),
         kf_fdot=sel(kf_fdot_new, state.kf_fdot),
+        bit_hist=jnp.where(act[:, None], ext_state_new["bit_hist"],
+                           state.bit_hist),
+        prev_sign=sel(ext_state_new["prev_sign"], state.prev_sign),
+        bit_synced=sel(ext_state_new["bit_synced"], state.bit_synced),
+        bit_phase=sel(ext_state_new["bit_phase"], state.bit_phase),
+        ext_p=sel(ext_state_new["ext_p"], state.ext_p),
+        ext_e=sel(ext_state_new["ext_e"], state.ext_e),
+        ext_l=sel(ext_state_new["ext_l"], state.ext_l),
+        ext_n=sel(ext_state_new["ext_n"], state.ext_n),
     )
     outputs = {
         "prompt": prompt,
@@ -413,12 +520,20 @@ class TrackingEngine:
             "prompt_prev": s.prompt_prev.at[ch].set(0.0 + 0.0j),
             "epoch": s.epoch.at[ch].set(0),
             "cn0_db_hz": s.cn0_db_hz.at[ch].set(0.0),
-            "carrier_lock": s.carrier_lock.at[ch].set(0.0),
+            "carrier_lock": s.carrier_lock.at[ch].set(1.0),
             "lock_fail": s.lock_fail.at[ch].set(0.0),
             "lock_lost": s.lock_lost.at[ch].set(False),
             "kf_p": s.kf_p.at[ch].set(jnp.diag(jnp.asarray(
                 [0.1, 0.1, 100.0, 10.0], jnp.float32))),
             "kf_fdot": s.kf_fdot.at[ch].set(0.0),
+            "bit_hist": s.bit_hist.at[ch].set(0.0),
+            "prev_sign": s.prev_sign.at[ch].set(0.0),
+            "bit_synced": s.bit_synced.at[ch].set(False),
+            "bit_phase": s.bit_phase.at[ch].set(0),
+            "ext_p": s.ext_p.at[ch].set(0.0 + 0.0j),
+            "ext_e": s.ext_e.at[ch].set(0.0 + 0.0j),
+            "ext_l": s.ext_l.at[ch].set(0.0 + 0.0j),
+            "ext_n": s.ext_n.at[ch].set(0),
         }
         self.state = s._replace(**upd)
         self.abs_start[ch] = int(abs_code_start_sample)

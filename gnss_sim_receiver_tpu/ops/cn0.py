@@ -19,13 +19,14 @@ class Cn0AccumState(NamedTuple):
     sum_abs_i: jnp.ndarray   # [C] sum |I_p|
     sum_m2: jnp.ndarray      # [C] sum |P|^2
     sum_m4: jnp.ndarray      # [C] sum |P|^4
-    sum_nbd: jnp.ndarray     # [C] sum (I^2 - Q^2)
+    sum_i: jnp.ndarray       # [C] sum I (signed, for the lock detector)
+    sum_q: jnp.ndarray       # [C] sum Q
     count: jnp.ndarray       # [C] epochs accumulated
 
 
 def init_accum(n_channels: int) -> Cn0AccumState:
     z = jnp.zeros(n_channels, jnp.float32)
-    return Cn0AccumState(z, z, z, z, z)
+    return Cn0AccumState(z, z, z, z, z, z)
 
 
 def accumulate(acc: Cn0AccumState, prompt: jnp.ndarray) -> Cn0AccumState:
@@ -36,7 +37,8 @@ def accumulate(acc: Cn0AccumState, prompt: jnp.ndarray) -> Cn0AccumState:
         sum_abs_i=acc.sum_abs_i + jnp.abs(i),
         sum_m2=acc.sum_m2 + p2,
         sum_m4=acc.sum_m4 + p2 * p2,
-        sum_nbd=acc.sum_nbd + (i * i - q * q),
+        sum_i=acc.sum_i + i,
+        sum_q=acc.sum_q + q,
         count=acc.count + 1.0,
     )
 
@@ -64,9 +66,12 @@ def cn0_m2m4_estimate(acc: Cn0AccumState, t_int_s) -> jnp.ndarray:
 
 
 def carrier_lock_value(acc: Cn0AccumState) -> jnp.ndarray:
-    """Carrier lock test statistic = mean(I^2-Q^2)/mean(I^2+Q^2) ~= cos(2
-    phase_err) in [-1, 1] (reference carrier_lock_detector)."""
-    return acc.sum_nbd / jnp.maximum(acc.sum_m2, 1e-20)
+    """Carrier lock test ~= cos(2 phase_err): NBD/NBP with the coherent
+    sums ((sum I)^2 -/+ (sum Q)^2) — exactly the reference
+    carrier_lock_detector (lock_detectors.cc:133-148)."""
+    i2 = acc.sum_i * acc.sum_i
+    q2 = acc.sum_q * acc.sum_q
+    return (i2 - q2) / jnp.maximum(i2 + q2, 1e-20)
 
 
 def update_lock_counters(fail_count, locked, max_fail):
