@@ -61,6 +61,7 @@ def main(argv=None) -> int:
     print(f"Ephemerides decoded: {sorted(run.ephemerides)}")
     print(f"Processed {len(x)/cond.fs_out:.1f} s of signal in {dt:.1f} s "
           f"({len(x)/cond.fs_out/dt:.1f}x realtime)")
+    _write_outputs(config, run)
     if not run.solutions:
         print("No position fix.")
         return 1
@@ -75,6 +76,39 @@ def main(argv=None) -> int:
           f"lon={np.degrees(lon):.7f} h={h:.2f} m "
           f"({len(run.solutions)} fixes)")
     return 0
+
+
+def _write_outputs(config, run) -> None:
+    """Config-driven output products (reference rtklib_pvt adapter flags:
+    PVT.nmea_dump_filename, PVT.flag_kml/gpx/geojson, PVT.rinex_*;
+    Observables.dump)."""
+    from gnss_sim_receiver_tpu.models import outputs as out
+    week = 0
+    if run.ephemerides:
+        week = next(iter(run.ephemerides.values())).week
+    if run.solutions:
+        if config.property("PVT.flag_nmea_tty_port", False) or \
+                config.is_present("PVT.nmea_dump_filename"):
+            out.write_nmea(config.property("PVT.nmea_dump_filename",
+                                           "pvt.nmea"), run.solutions, week)
+        if config.property("PVT.flag_kml", False):
+            out.write_kml(config.property("PVT.kml_output_path", "pvt.kml"),
+                          run.solutions)
+        if config.property("PVT.flag_gpx", False):
+            out.write_gpx(config.property("PVT.gpx_output_path", "pvt.gpx"),
+                          run.solutions, week)
+        if config.property("PVT.flag_geojson", False):
+            out.write_geojson(config.property("PVT.geojson_output_path",
+                                              "pvt.geojson"), run.solutions)
+    if run.observation_epochs and config.property("PVT.flag_rinex", False):
+        prns = run.channel_prns
+        out.write_rinex_obs(config.property("PVT.rinex_output_path",
+                                            "pvt.obs"),
+                            run.observation_epochs, prns, week)
+        if run.ephemerides:
+            out.write_rinex_nav(config.property("PVT.rinex_nav_output_path",
+                                                "pvt.nav"),
+                                run.ephemerides, week)
 
 
 if __name__ == "__main__":

@@ -80,3 +80,32 @@ def test_factory_rejects_unknown_blocks(tmp_path):
     conf.write_text("Acquisition_1C.implementation=Exotic_Acq\n")
     with pytest.raises(NotImplementedError):
         receiver_conf_from_config(FileConfiguration(conf))
+
+
+def test_write_outputs_config_driven(tmp_path):
+    import numpy as np
+
+    from gnss_sim_receiver_tpu.__main__ import _write_outputs
+    from gnss_sim_receiver_tpu.models.control import ChannelState
+    from gnss_sim_receiver_tpu.models.pvt import PvtSolution
+    from gnss_sim_receiver_tpu.models.receiver import ReceiverRun
+    from gnss_sim_receiver_tpu.utils import geodesy
+    from gnss_sim_receiver_tpu.utils.config import InMemoryConfiguration
+
+    rx = geodesy.llh_to_ecef(np.radians(40.0), np.radians(-75.0), 100.0)
+    sol = PvtSolution(True, rx, 0.0, np.zeros(3), 0.0, 345625.0,
+                      2.5, 2.0, 1.2, 1.6, 6, np.zeros(6))
+    run = ReceiverRun(solutions=[sol, sol], observation_epochs=[],
+                      channel_prns=[7], channel_states=[ChannelState.TRACKING],
+                      ephemerides={}, events=[])
+    c = InMemoryConfiguration()
+    c.set_property("PVT.nmea_dump_filename", str(tmp_path / "o.nmea"))
+    c.set_property("PVT.flag_kml", "true")
+    c.set_property("PVT.kml_output_path", str(tmp_path / "o.kml"))
+    c.set_property("PVT.flag_gpx", "true")
+    c.set_property("PVT.gpx_output_path", str(tmp_path / "o.gpx"))
+    c.set_property("PVT.flag_geojson", "true")
+    c.set_property("PVT.geojson_output_path", str(tmp_path / "o.geojson"))
+    _write_outputs(c, run)
+    for name in ("o.nmea", "o.kml", "o.gpx", "o.geojson"):
+        assert (tmp_path / name).exists(), name
