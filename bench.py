@@ -19,6 +19,28 @@ import time
 import numpy as np
 
 
+def _bench_tracking(trk, prn_codes, jax, jnp, fs, n_channels, n_epochs,
+                    x, reps=3):
+    conf = trk.TrackingConf(fs=fs)
+    prns = [(i % 32) + 1 for i in range(n_channels)]
+    codes = jnp.asarray(prn_codes.gps_l1_ca_code_table(prns))
+    taps = jnp.asarray(np.array([+0.25, 0.0, -0.25], np.float32))
+    state = trk._init_state(n_channels)._replace(
+        active=jnp.ones(n_channels, bool),
+        carrier_doppler=jnp.linspace(-4000, 4000, n_channels
+                                     ).astype(jnp.float32),
+    )
+    st, outs = trk.track_chunk(conf, n_epochs, codes, taps, x, state)
+    jax.block_until_ready(outs["prompt"])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        st, outs = trk.track_chunk(conf, n_epochs, codes, taps, x, state)
+        jax.block_until_ready(outs["prompt"])
+    dt = (time.perf_counter() - t0) / reps
+    realtime = n_epochs * conf.t_epoch_nominal_s / dt
+    return realtime, n_channels * fs * realtime / 1e6
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -32,31 +54,50 @@ def main():
     conf = trk.TrackingConf(fs=fs)
 
     prns = [(i % 32) + 1 for i in range(n_channels)]
-    codes = jnp.asarray(prn_codes.gps_l1_ca_code_table(prns))
-    taps = jnp.asarray(np.array([+0.25, 0.0, -0.25], np.float32))
-    state = trk._init_state(n_channels)._replace(
-        active=jnp.ones(n_channels, bool),
-        carrier_doppler=jnp.linspace(-4000, 4000, n_channels
-                                     ).astype(jnp.float32),
-    )
     rng = np.random.default_rng(0)
     chunk_len = conf.nominal_epoch_samples * (n_epochs + 2) + conf.block_size
     x = jnp.asarray((rng.standard_normal(chunk_len)
                      + 1j * rng.standard_normal(chunk_len))
                     .astype(np.complex64))
 
-    # warmup/compile
-    st, outs = trk.track_chunk(conf, n_epochs, codes, taps, x, state)
-    jax.block_until_ready(outs["prompt"])
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        st, outs = trk.track_chunk(conf, n_epochs, codes, taps, x, state)
-        jax.block_until_ready(outs["prompt"])
-    dt_track = (time.perf_counter() - t0) / reps
-    signal_seconds = n_epochs * conf.t_epoch_nominal_s
-    realtime_factor = signal_seconds / dt_track
-    msamp_s = n_channels * fs * realtime_factor / 1e6
+    realtime_factor, msamp_s = _bench_tracking(
+        trk, prn_codes, jax, jnp, fs, n_channels, n_epochs, x)
+    scaling = {}
+    for c in (48, 192):
+        rt_c, ms_c = _bench_tracking(trk, prn_codes, jax, jnp, fs, c,
+                                     n_epochs, x, reps=2)
+        scaling[f"{c}ch"] = {"realtime_factor": round(rt_c, 1),
+                             "msamples_s": round(ms_c, 1)}
+
+    # Pallas fused rotator+dot-product kernel (volk rotator_dot_prod
+    # analogue): per-call latency, 12 channels x 2048-sample blocks
+    pallas_us = None
+    try:
+        from gnss_sim_receiver_tpu.ops import correlator
+        from gnss_sim_receiver_tpu.ops.pallas_correlator import (
+            pallas_rotator_dot_prod, resample_codes_xla)
+        codes_j = jnp.asarray(prn_codes.gps_l1_ca_code_table(prns))
+        taps_j = jnp.asarray(np.array([0.25, 0.0, -0.25], np.float32))
+        params = np.zeros((n_channels, 8), np.float32)
+        params[:, 1] = 1.023e6
+        params[:, 3] = np.linspace(-4000, 4000, n_channels)
+        params[:, 4] = 2000
+        blocks = correlator.gather_blocks(
+            x[: 4 * 2048], jnp.asarray((np.arange(n_channels) * 100)
+                                       .astype(np.int32)), 2048)
+        cm = resample_codes_xla(codes_j, taps_j,
+                                jnp.asarray(params[:, 0]),
+                                jnp.asarray(params[:, 1]), 2048, fs)
+        r = pallas_rotator_dot_prod(blocks, cm, jnp.asarray(params), fs=fs)
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(200):
+            r = pallas_rotator_dot_prod(blocks, cm, jnp.asarray(params),
+                                        fs=fs)
+        jax.block_until_ready(r)
+        pallas_us = round((time.perf_counter() - t0) / 200 * 1e6, 1)
+    except Exception:
+        pass
 
     # acquisition: 12 PRN grids, 41 Doppler bins x 2000 delays, 2 dwells
     fft = conf.nominal_epoch_samples
@@ -88,8 +129,10 @@ def main():
         "unit": "Msamples/s",
         "vs_baseline": round(msamp_s / baseline_msamp_s, 2),
         "realtime_factor_12ch": round(realtime_factor, 2),
+        "scaling": scaling,
         "acq_grids_per_s": round(grids_s, 1),
         "acq_grid": "41x2000x2dwell",
+        "pallas_rotator_dot_prod_us": pallas_us,
         "device": str(jax.devices()[0]),
     }))
 
