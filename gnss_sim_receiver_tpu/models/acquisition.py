@@ -54,21 +54,25 @@ class AcqResults:
 
 
 class PcpsAcquisitionEngine:
-    """GPS L1 C/A batched PCPS acquisition over a fixed PRN set."""
+    """Batched PCPS acquisition over a fixed PRN set.  Signal-agnostic:
+    pass code_provider(prn) -> +-1 sub-chip table and sc_rate for non-GPS
+    signals (e.g. Galileo E1 BOC sub-chip tables); defaults to GPS L1
+    C/A."""
 
-    def __init__(self, conf: AcqConf, prns):
+    def __init__(self, conf: AcqConf, prns, code_provider=None,
+                 sc_rate: float | None = None):
         self.conf = conf
         self.prns = list(int(p) for p in prns)
         fs = conf.fs_in
+        code_provider = code_provider or prn_codes.gps_l1_ca_code
+        sc_rate = sc_rate or constants.GPS_L1_CA_CODE_RATE_CPS
         self.n_coherent = int(round(fs * 1e-3 * conf.sampled_ms))
         self.fft_size = self.n_coherent
-        self.samples_per_chip = max(1, int(round(
-            fs / constants.GPS_L1_CA_CODE_RATE_CPS)))
+        self.samples_per_chip = max(1, int(round(fs / sc_rate)))
         # local replica FFTs (adapter-side precompute in the reference)
         codes = np.stack([
-            prn_codes.sample_code(prn_codes.gps_l1_ca_code(p), fs,
-                                  constants.GPS_L1_CA_CODE_RATE_CPS,
-                                  self.fft_size)
+            prn_codes.sample_code(np.asarray(code_provider(p), np.float32),
+                                  fs, sc_rate, self.fft_size)
             for p in self.prns])
         self.code_fft_conj = jnp.asarray(
             np.conj(np.fft.fft(codes, axis=-1)).astype(np.complex64))

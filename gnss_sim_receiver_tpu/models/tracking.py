@@ -469,13 +469,18 @@ class TrackingEngine:
     Tracking_sample_counter of gnss_synchro.h).
     """
 
-    def __init__(self, conf: TrackingConf, prns):
+    def __init__(self, conf: TrackingConf, prns, code_provider=None):
+        """code_provider(prn) -> +-1 sub-chip table of length
+        conf.code_length_chips (defaults to GPS L1 C/A).  For BOC signals
+        pass the sub-chip-expanded table (signals.subchip_table) with conf
+        rates in sub-chip units."""
         self.conf = conf
         self.prns = [int(p) for p in prns]
         self.n_channels = len(self.prns)
+        self.code_provider = code_provider or prn_codes.gps_l1_ca_code
         # prn <= 0 = unassigned channel (zero code row until reassignment)
         self.codes = jnp.asarray(np.stack([
-            prn_codes.gps_l1_ca_code(p) if p > 0
+            np.asarray(self.code_provider(p), np.float32) if p > 0
             else np.zeros(conf.code_length_chips, np.float32)
             for p in self.prns]))
         d = conf.early_late_space_chips
@@ -489,7 +494,8 @@ class TrackingEngine:
         code-table row."""
         self.prns[ch] = int(prn)
         self.codes = self.codes.at[ch].set(
-            jnp.asarray(prn_codes.gps_l1_ca_code(int(prn))))
+            jnp.asarray(np.asarray(self.code_provider(int(prn)),
+                                   np.float32)))
 
     def stop_channel(self, ch: int) -> None:
         self.state = self.state._replace(

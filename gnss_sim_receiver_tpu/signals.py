@@ -1,0 +1,98 @@
+"""Signal definitions: per-signal code tables and rates for the batched
+engines.
+
+The acquisition/tracking engines are signal-agnostic: they consume a
+"sub-chip" table (the spreading waveform sampled at sc_rate, one entry per
+sub-chip) plus rates. BPSK signals use the code itself; BOC(1,1) signals
+(Galileo E1) use the 2x-rate sub-chip expansion so the same NCO/correlator
+handles the square-wave subcarrier — the role of the reference's sinboc
+replica generation (galileo_e1_signal_replica.cc).
+
+Galileo E1 B/C primary codes are ICD *memory codes* (no generator
+polynomial).  The tables ship as data assets loaded at runtime
+(`load_e1_code_table`); the built-in `e1_test_code` provides deterministic
+placeholder codes with the right length/statistics so the whole E1 pipeline
+(simulator <-> receiver) runs end-to-end in tests without the asset file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+from gnss_sim_receiver_tpu import constants
+from gnss_sim_receiver_tpu.ops import prn_codes
+
+
+@dataclasses.dataclass(frozen=True)
+class SignalDef:
+    system: str          # "GPS" | "Galileo" | ...
+    signal: str          # "1C" | "1B" | ...
+    carrier_freq_hz: float
+    chip_rate_cps: float        # ICD chip rate
+    code_length_chips: int
+    sc_per_chip: int            # sub-chips per chip (1 = BPSK, 2 = BOC(1,1))
+    symbol_rate_sps: float      # nav symbol rate
+
+    @property
+    def sc_rate(self) -> float:
+        return self.chip_rate_cps * self.sc_per_chip
+
+    @property
+    def sc_length(self) -> int:
+        return self.code_length_chips * self.sc_per_chip
+
+    @property
+    def code_period_s(self) -> float:
+        return self.code_length_chips / self.chip_rate_cps
+
+
+GPS_L1CA = SignalDef("GPS", "1C", constants.GPS_L1_FREQ_HZ, 1.023e6, 1023,
+                     1, 50.0)
+GALILEO_E1B = SignalDef("Galileo", "1B", constants.GALILEO_E1_FREQ_HZ,
+                        1.023e6, 4092, 2, 250.0)
+
+
+@functools.lru_cache(maxsize=128)
+def e1_test_code(prn: int, component: str = "B") -> np.ndarray:
+    """Deterministic placeholder E1 memory code (+-1, 4092 chips).  Real
+    ICD tables load via load_e1_code_table; correlation statistics
+    (balance, low cross-correlation) match the memory codes' design."""
+    seed = (prn * 7919 + (0 if component == "B" else 104729)) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, 4092) * 2.0 - 1.0).astype(np.float32)
+
+
+def load_e1_code_table(path, prn: int, component: str = "B") -> np.ndarray:
+    """Load a real E1 code table asset: text file with lines
+    '<prn> <B|C> <hex chips>' (1023 hex chars = 4092 chips, MSB first)."""
+    want = (str(prn), component)
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) == 3 and (parts[0], parts[1]) == want:
+                bits = np.array([int(c, 16) for c in parts[2].strip()],
+                                np.uint8)
+                chips = np.unpackbits(bits[:, None], axis=1,
+                                      count=4)[:, :4].reshape(-1)[:4092]
+                return (2.0 * chips - 1.0).astype(np.float32)
+    raise KeyError(f"PRN {prn}{component} not in {path}")
+
+
+def boc11_expand(code: np.ndarray) -> np.ndarray:
+    """BOC(1,1) sine-phased sub-chip expansion: chip c -> (+c, -c)."""
+    out = np.empty(2 * len(code), np.float32)
+    out[0::2] = code
+    out[1::2] = -code
+    return out
+
+
+def subchip_table(sig: SignalDef, prn: int) -> np.ndarray:
+    """The engine-facing spreading table for (signal, prn)."""
+    if sig.signal == "1C":
+        return prn_codes.gps_l1_ca_code(prn)
+    if sig.signal == "1B":
+        return boc11_expand(e1_test_code(prn, "B"))
+    raise NotImplementedError(sig.signal)

@@ -52,18 +52,33 @@ def cn0_to_amplitude(cn0_db_hz: float, fs: float) -> float:
     return float(np.sqrt(10.0 ** (cn0_db_hz / 10.0) / fs))
 
 
+def _sig_params(sat: SatelliteSignalParams):
+    """(subchip table +-1 int8, sc_rate, subchips_per_symbol) per signal."""
+    if sat.signal == "1C":
+        from gnss_sim_receiver_tpu.ops import prn_codes as pc
+        code = pc.gps_l1_ca_code(sat.prn).astype(np.int8)
+        return (code, constants.GPS_L1_CA_CODE_RATE_CPS,
+                constants.GPS_L1_CA_CODE_LENGTH_CHIPS
+                * constants.GPS_L1_CA_CODES_PER_BIT)
+    if sat.signal == "1B":
+        from gnss_sim_receiver_tpu import signals as sigdefs
+        sub = sigdefs.subchip_table(sigdefs.GALILEO_E1B, sat.prn
+                                    ).astype(np.int8)
+        # E1B: 250 sps, one 4092-chip code period per symbol (BOC sub-chips)
+        return sub, sigdefs.GALILEO_E1B.sc_rate, len(sub)
+    raise NotImplementedError(
+        f"simulator signal {sat.system}/{sat.signal} not yet supported")
+
+
 def _sat_chip_table(sat: SatelliteSignalParams) -> np.ndarray:
-    """Pre-expanded chip-value sequence code[chip % L] * bit[chip // LB]
-    over the whole nav-bit stream, as int8 — one gather per sample instead
-    of two gathers + two mods in the hot loop."""
-    code = prn_codes.gps_l1_ca_code(sat.prn).astype(np.int8)
+    """Pre-expanded sub-chip sequence table[i % L] * bit[i // L_sym] over
+    the whole nav-symbol stream, as int8 — one gather per sample instead of
+    two gathers + two mods in the hot loop."""
+    code, _, sc_per_sym = _sig_params(sat)
     bits = np.asarray(sat.nav_bits, dtype=np.int8)
-    n_chips = len(bits) * (constants.GPS_L1_CA_CODE_LENGTH_CHIPS
-                           * constants.GPS_L1_CA_CODES_PER_BIT)
-    reps = n_chips // constants.GPS_L1_CA_CODE_LENGTH_CHIPS
-    table = np.tile(code, reps)
-    table *= np.repeat(bits, constants.GPS_L1_CA_CODE_LENGTH_CHIPS
-                       * constants.GPS_L1_CA_CODES_PER_BIT)
+    reps_per_sym = sc_per_sym // len(code)
+    table = np.tile(code, reps_per_sym * len(bits))
+    table *= np.repeat(bits, sc_per_sym)
     return table
 
 
@@ -81,11 +96,8 @@ def _sat_signal_block(sat: SatelliteSignalParams, fs: float,
     exact to ~6e-5 chips / 2e-6 rad within a block — well below the
     sub-centimeter fidelity the fixtures need.
     """
-    if sat.system != "GPS" or sat.signal != "1C":
-        raise NotImplementedError(
-            f"simulator signal {sat.system}/{sat.signal} not yet supported")
-    f_c = constants.GPS_L1_FREQ_HZ
-    code_rate = constants.GPS_L1_CA_CODE_RATE_CPS
+    f_c = constants.GPS_L1_FREQ_HZ  # L1/E1 band (same carrier)
+    _, code_rate, _ = _sig_params(sat)  # sub-chip rate
     if getattr(sat, "_chip_table", None) is None:
         sat._chip_table = _sat_chip_table(sat)
     table = sat._chip_table
@@ -95,7 +107,9 @@ def _sat_signal_block(sat: SatelliteSignalParams, fs: float,
     # anchors (f64, one per block)
     s_b = start_sample + b * np.arange(nblk, dtype=np.float64)
     t_b = s_b / fs
-    delay0 = sat.delay_sec + sat.delay_chips / code_rate
+    # delay_chips is in ICD chips; code_rate here is the SUB-chip rate
+    icd_chip_rate = (code_rate / 2.0 if sat.signal == "1B" else code_rate)
+    delay0 = sat.delay_sec + sat.delay_chips / icd_chip_rate
     delay_b = delay0 - (sat.doppler_hz / f_c) * t_b \
         - (sat.doppler_rate_hz_s / f_c) * t_b * t_b / 2.0
     tau_b = t_b - delay_b
