@@ -41,7 +41,8 @@ def _e1_scenario(prn=11, doppler=1800.0, delay_chips=1234.5, cn0=48.0,
 def _acq_engine(prns):
     return PcpsAcquisitionEngine(
         AcqConf(fs_in=FS, sampled_ms=4, doppler_max=5000.0,
-                doppler_step=125.0, max_dwells=2),
+                doppler_step=125.0, max_dwells=2,
+                make_two_steps=True, doppler_step2=31.25),
         prns=prns, code_provider=_code_provider, sc_rate=SIG.sc_rate)
 
 
@@ -73,7 +74,8 @@ def test_e1b_tracking_converges():
         fs=FS, code_rate_cps=SIG.sc_rate, code_length_chips=SIG.sc_length,
         carrier_freq_hz=SIG.carrier_freq_hz,
         early_late_space_chips=0.5,     # sub-chips = 0.25 E1 chips
-        fll_pullin_epochs=100,          # 4 ms epochs -> 0.4 s pull-in
+        enable_fll_pullin=False,        # 4 ms symbols corrupt the FLL pairs
+        fll_pullin_epochs=100,          # transitory window for lock mgmt
         cn0_window_epochs=20)
     trk = TrackingEngine(conf, prns=[11], code_provider=_code_provider)
     trk.start_tracking(0, float(res.doppler_hz[0]),
