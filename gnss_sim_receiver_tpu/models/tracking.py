@@ -33,6 +33,8 @@ from gnss_sim_receiver_tpu.ops import correlator, discriminators
 from gnss_sim_receiver_tpu.ops import loop_filters as lf
 from gnss_sim_receiver_tpu.ops import prn_codes
 
+N_SEC_MAX = 32   # longest supported secondary code (NH20, CS25 fit)
+
 
 @dataclasses.dataclass(frozen=True)
 class TrackingConf:
@@ -68,6 +70,11 @@ class TrackingConf:
     pll_bw_narrow_hz: float = 15.0
     dll_bw_narrow_hz: float = 0.5
     bit_sync_min_transitions: int = 16
+    # secondary code (pilot channels: L5Q NH20, E1C CS25, B1I NH20...):
+    # hard sign-match sync of the prompt signs against the sequence, then
+    # per-epoch wipeoff (reference acquire_secondary(),
+    # dll_pll_veml_tracking.cc:925-969; |corr| must equal the length)
+    secondary_code: tuple = ()
     kf_q_code_chips2: float = 1e-4
     kf_q_phase_cyc2: float = 1e-6
     kf_q_dop_hz2: float = 1.0
@@ -119,6 +126,10 @@ class TrackState(NamedTuple):
     ext_e: jnp.ndarray             # [C] complex64 coherent E accumulator
     ext_l: jnp.ndarray             # [C] complex64 coherent L accumulator
     ext_n: jnp.ndarray             # [C] int32 symbols accumulated
+    sec_buf: jnp.ndarray           # [C, N_SEC_MAX] recent prompt-I signs
+    sec_synced: jnp.ndarray        # [C] bool
+    sec_off: jnp.ndarray           # [C] int32: sec chip = sec[(e+off)%N]
+    sec_polarity: jnp.ndarray      # [C] +-1 (180-deg phase lock flag)
 
 
 def _init_state(n_channels: int) -> TrackState:
@@ -142,6 +153,9 @@ def _init_state(n_channels: int) -> TrackState:
         prev_sign=z(), bit_synced=z(bool), bit_phase=z(jnp.int32),
         ext_p=z(jnp.complex64), ext_e=z(jnp.complex64),
         ext_l=z(jnp.complex64), ext_n=z(jnp.int32),
+        sec_buf=jnp.zeros((n_channels, N_SEC_MAX), jnp.float32),
+        sec_synced=z(bool), sec_off=z(jnp.int32),
+        sec_polarity=jnp.ones(n_channels, jnp.float32),
     )
 
 
@@ -269,14 +283,62 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         state.rem_carr_phase, state.carrier_doppler, n_c, fs)
     early, prompt, late = corr[:, 0], corr[:, 1], corr[:, 2]
 
+    # --- secondary-code sync + wipeoff (pilot channels; reference
+    # acquire_secondary(), dll_pll_veml_tracking.cc:925-969) ----------------
+    if len(conf.secondary_code) > 0:
+        n_sec = len(conf.secondary_code)
+        sec_arr = jnp.asarray(np.array(conf.secondary_code, np.float32)
+                              * 2.0 - 1.0
+                              if set(conf.secondary_code) <= {0, 1}
+                              else np.array(conf.secondary_code, np.float32))
+        sign_now = jnp.where(jnp.real(prompt) >= 0.0, 1.0, -1.0)
+        slot = jnp.mod(state.epoch, n_sec)
+        slot_hot = (jnp.arange(N_SEC_MAX, dtype=jnp.int32)[None, :]
+                    == slot[:, None])
+        sec_buf = jnp.where(slot_hot, sign_now[:, None], state.sec_buf)
+        # hard sign-match over all cyclic shifts: buf[i] must equal
+        # polarity * sec[(i+off) % n] for exactly one off with |corr| == n
+        shift_mat = np.zeros((n_sec, N_SEC_MAX), np.float32)
+        sec_np = (np.array(conf.secondary_code, np.float32) * 2.0 - 1.0
+                  if set(conf.secondary_code) <= {0, 1}
+                  else np.array(conf.secondary_code, np.float32))
+        for off in range(n_sec):
+            shift_mat[off, :n_sec] = sec_np[(np.arange(n_sec) + off) % n_sec]
+        corr_sec = sec_buf @ jnp.asarray(shift_mat).T          # [C, n_sec]
+        best_off = jnp.argmax(jnp.abs(corr_sec), axis=-1).astype(jnp.int32)
+        best = jnp.take_along_axis(corr_sec, best_off[:, None],
+                                   axis=-1)[:, 0]
+        hit = (~state.sec_synced) & (state.epoch >= n_sec) \
+            & (jnp.abs(best) >= jnp.float32(n_sec) - 0.5)
+        sec_synced = state.sec_synced | hit
+        sec_off = jnp.where(hit, best_off, state.sec_off)
+        sec_polarity = jnp.where(hit, jnp.sign(best), state.sec_polarity)
+        # wipeoff: sec chip for this epoch
+        chip_idx = jnp.mod(state.epoch + sec_off, n_sec)
+        chip_hot = (jnp.arange(n_sec, dtype=jnp.int32)[None, :]
+                    == chip_idx[:, None]).astype(jnp.float32)
+        sec_chip = (chip_hot @ sec_arr) * sec_polarity
+        wipe = jnp.where(sec_synced, sec_chip, 1.0)
+        prompt_w = prompt * wipe
+        early_w = early * wipe
+        late_w = late * wipe
+        sec_state_new = dict(sec_buf=sec_buf, sec_synced=sec_synced,
+                             sec_off=sec_off, sec_polarity=sec_polarity)
+    else:
+        prompt_w, early_w, late_w = prompt, early, late
+        sec_state_new = dict(sec_buf=state.sec_buf,
+                             sec_synced=state.sec_synced,
+                             sec_off=state.sec_off,
+                             sec_polarity=state.sec_polarity)
+
     # --- loop closure (run_dll_pll :1065, or the kf_tracking KF) -----------
-    carr_err_cyc = discriminators.pll_costas(prompt) / (2.0 * jnp.pi)
+    carr_err_cyc = discriminators.pll_costas(prompt_w) / (2.0 * jnp.pi)
     code_err_chips = discriminators.dll_nc_e_minus_l_normalized(
         jnp.abs(early), jnp.abs(late),
         jnp.float32(conf.early_late_space_chips))
     if conf.tracking_mode == "kf":
         (carrier_doppler, code_freq, dtau_chips, dphi_cyc, kf_p_new,
-         kf_fdot_new) = _kf_update(conf, state, prompt, carr_err_cyc,
+         kf_fdot_new) = _kf_update(conf, state, prompt_w, carr_err_cyc,
                                    code_err_chips, t_int)
         pll_new = lf.LoopFilterState(vel=carrier_doppler,
                                      acc=state.pll.acc)
@@ -286,44 +348,60 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         dphi_cyc = jnp.zeros_like(carr_err_cyc)
         kf_p_new, kf_fdot_new = state.kf_p, state.kf_fdot
         carrier_doppler, code_freq, pll_new, dll_new = _dll_pll_update(
-            conf, state, prompt, carr_err_cyc, code_err_chips, t_int)
+            conf, state, prompt_w, carr_err_cyc, code_err_chips, t_int)
 
     # --- extended coherent integration (states 2->3->4) --------------------
     k_ext = conf.extend_correlation_symbols
     if k_ext > 1 and conf.tracking_mode != "kf":
-        assert 20 % k_ext == 0, "extend_correlation_symbols must divide 20"
-        # on-device bit sync: histogram of prompt-I sign transitions over
-        # epoch%20 (the batched form of the reference's 20-symbol pattern
-        # sync, dll_pll_veml_tracking.cc:1852-1867)
-        sign = jnp.where(jnp.real(prompt) >= 0, 1.0, -1.0)
-        flip = (state.prev_sign != 0.0) & (sign != state.prev_sign)
-        idx20 = jnp.mod(state.epoch, 20)
-        onehot = (jnp.arange(20, dtype=jnp.int32)[None, :]
-                  == idx20[:, None]).astype(jnp.float32)
-        hist = state.bit_hist + jnp.where(
-            ((~state.bit_synced) & flip)[:, None], onehot, 0.0)
-        peak = hist.max(axis=-1)
-        arg = jnp.argmax(hist, axis=-1)
-        peak_mask = (jnp.arange(20, dtype=jnp.int32)[None, :]
-                     == arg[:, None])
-        second = jnp.max(jnp.where(peak_mask, 0.0, hist), axis=-1)
-        # dominance test: sign errors scatter spurious transitions across
-        # all bins, so require the top bin to clearly dominate the runner-up
-        newly = (~state.bit_synced) \
-            & (peak >= conf.bit_sync_min_transitions) \
-            & (peak >= 4.0 * jnp.maximum(second, 1.0))
-        bit_synced = state.bit_synced | newly
-        bit_phase = jnp.where(newly, jnp.argmax(hist, axis=-1).astype(
-            jnp.int32), state.bit_phase)
-        ext_on = bit_synced & (state.epoch >= conf.fll_pullin_epochs)
-        at_bit_start = idx20 == bit_phase
+        if len(conf.secondary_code) > 0:
+            # pilot channel: the secondary code IS the symbol structure —
+            # integration groups align to secondary-code boundaries after
+            # wipeoff (reference state 3 for pilot signals)
+            n_sec = len(conf.secondary_code)
+            assert n_sec % k_ext == 0, \
+                "extend_correlation_symbols must divide the secondary length"
+            hist = state.bit_hist
+            bit_synced = sec_state_new["sec_synced"]
+            bit_phase = state.bit_phase
+            sign = jnp.where(jnp.real(prompt_w) >= 0, 1.0, -1.0)
+            ext_on = bit_synced & (state.epoch >= conf.fll_pullin_epochs)
+            at_bit_start = jnp.mod(state.epoch + sec_state_new["sec_off"],
+                                   n_sec) == 0
+        else:
+            assert 20 % k_ext == 0, \
+                "extend_correlation_symbols must divide 20"
+            # on-device bit sync: histogram of prompt-I sign transitions
+            # over epoch%20 (the batched form of the reference's 20-symbol
+            # pattern sync, dll_pll_veml_tracking.cc:1852-1867)
+            sign = jnp.where(jnp.real(prompt) >= 0, 1.0, -1.0)
+            flip = (state.prev_sign != 0.0) & (sign != state.prev_sign)
+            idx20 = jnp.mod(state.epoch, 20)
+            onehot = (jnp.arange(20, dtype=jnp.int32)[None, :]
+                      == idx20[:, None]).astype(jnp.float32)
+            hist = state.bit_hist + jnp.where(
+                ((~state.bit_synced) & flip)[:, None], onehot, 0.0)
+            peak = hist.max(axis=-1)
+            arg = jnp.argmax(hist, axis=-1)
+            peak_mask = (jnp.arange(20, dtype=jnp.int32)[None, :]
+                         == arg[:, None])
+            second = jnp.max(jnp.where(peak_mask, 0.0, hist), axis=-1)
+            # dominance test: sign errors scatter spurious transitions
+            # across all bins, so require the top bin to clearly dominate
+            newly = (~state.bit_synced) \
+                & (peak >= conf.bit_sync_min_transitions) \
+                & (peak >= 4.0 * jnp.maximum(second, 1.0))
+            bit_synced = state.bit_synced | newly
+            bit_phase = jnp.where(newly, jnp.argmax(hist, axis=-1).astype(
+                jnp.int32), state.bit_phase)
+            ext_on = bit_synced & (state.epoch >= conf.fll_pullin_epochs)
+            at_bit_start = idx20 == bit_phase
         restart = at_bit_start | (state.ext_n <= 0)
-        ext_p = jnp.where(ext_on, jnp.where(restart, prompt,
-                                            state.ext_p + prompt), 0.0)
-        ext_e = jnp.where(ext_on, jnp.where(restart, early,
-                                            state.ext_e + early), 0.0)
-        ext_l = jnp.where(ext_on, jnp.where(restart, late,
-                                            state.ext_l + late), 0.0)
+        ext_p = jnp.where(ext_on, jnp.where(restart, prompt_w,
+                                            state.ext_p + prompt_w), 0.0)
+        ext_e = jnp.where(ext_on, jnp.where(restart, early_w,
+                                            state.ext_e + early_w), 0.0)
+        ext_l = jnp.where(ext_on, jnp.where(restart, late_w,
+                                            state.ext_l + late_w), 0.0)
         ext_n = jnp.where(ext_on,
                           jnp.where(restart, 1, state.ext_n + 1), 0)
         close_now = ext_on & (ext_n == k_ext)
@@ -333,7 +411,7 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
             jnp.abs(ext_e), jnp.abs(ext_l),
             jnp.float32(conf.early_late_space_chips))
         dop_ext, cf_ext, pll_ext, dll_ext = _dll_pll_update(
-            conf, state, prompt, carr_err_ext, code_err_ext,
+            conf, state, prompt_w, carr_err_ext, code_err_ext,
             t_int * k_ext, pll_bw_hz=conf.pll_bw_narrow_hz,
             dll_bw_hz=conf.dll_bw_narrow_hz, apply_fll=False)
         # select per channel: wide (pre-sync) | closed-extended | hold
@@ -374,7 +452,9 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
     pos_next = state.pos + n_c
 
     # --- C/N0 + lock detection every cn0_window epochs (:972-1035) ---------
-    acc = cn0_ops.accumulate(state.cn0_acc, prompt)
+    # C/N0 + lock accumulators use the secondary-wiped prompt (on pilots
+    # the raw NB sums would be crushed by the NH sign flips)
+    acc = cn0_ops.accumulate(state.cn0_acc, prompt_w)
     window_done = jnp.mod(state.epoch + 1, conf.cn0_window_epochs) == 0
     cn0_new = cn0_ops.cn0_m2m4_estimate(acc, t_int)
     # exponentially smoothed lock test (reference Exponential_Smoother on
@@ -410,7 +490,7 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         acc_phase_comp=sel(comp, state.acc_phase_comp),
         dll=jax.tree.map(sel, dll_new, state.dll),
         pll=jax.tree.map(sel, pll_new, state.pll),
-        prompt_prev=sel(prompt, state.prompt_prev),
+        prompt_prev=sel(prompt_w, state.prompt_prev),
         epoch=jnp.where(act, state.epoch + 1, state.epoch),
         cn0_acc=jax.tree.map(sel, acc, state.cn0_acc),
         cn0_db_hz=sel(cn0_db, state.cn0_db_hz),
@@ -428,6 +508,12 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         ext_e=sel(ext_state_new["ext_e"], state.ext_e),
         ext_l=sel(ext_state_new["ext_l"], state.ext_l),
         ext_n=sel(ext_state_new["ext_n"], state.ext_n),
+        sec_buf=jnp.where(act[:, None], sec_state_new["sec_buf"],
+                          state.sec_buf),
+        sec_synced=sel(sec_state_new["sec_synced"], state.sec_synced),
+        sec_off=sel(sec_state_new["sec_off"], state.sec_off),
+        sec_polarity=sel(sec_state_new["sec_polarity"],
+                         state.sec_polarity),
     )
     outputs = {
         "prompt": prompt,
@@ -540,6 +626,10 @@ class TrackingEngine:
             "ext_e": s.ext_e.at[ch].set(0.0 + 0.0j),
             "ext_l": s.ext_l.at[ch].set(0.0 + 0.0j),
             "ext_n": s.ext_n.at[ch].set(0),
+            "sec_buf": s.sec_buf.at[ch].set(0.0),
+            "sec_synced": s.sec_synced.at[ch].set(False),
+            "sec_off": s.sec_off.at[ch].set(0),
+            "sec_polarity": s.sec_polarity.at[ch].set(1.0),
         }
         self.state = s._replace(**upd)
         self.abs_start[ch] = int(abs_code_start_sample)
