@@ -38,7 +38,9 @@ class ObsConf:
     smoothing_factor: int = 0      # Hatch filter length M; 0 disables
     carrier_wavelength_m: float = (constants.SPEED_OF_LIGHT_M_S
                                    / constants.GPS_L1_FREQ_HZ)
-    history_len: int = 128
+    # must cover at least one driver chunk of epochs, or ticks older than
+    # the retained window silently fail to interpolate
+    history_len: int = 1200
 
 
 @dataclasses.dataclass

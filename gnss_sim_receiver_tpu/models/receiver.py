@@ -39,7 +39,6 @@ class ReceiverConf:
     pvt: PvtConf | None = None
     chunk_epochs: int = 1000
     output_rate_ms: int = 20
-    reacq_interval_epochs: int = 1000  # retry cadence for empty channels
     enable_pvt_kf: bool = False        # PVT.enable_pvt_kf (Pvt_Kf analogue)
 
     def __post_init__(self):
@@ -51,6 +50,11 @@ class ReceiverConf:
             self.obs = ObsConf(fs=self.fs, interval_ms=self.output_rate_ms)
         if self.pvt is None:
             self.pvt = PvtConf()
+        # observables history must out-span a tracking chunk (ticks are
+        # pulled once per chunk)
+        if self.obs.history_len < self.chunk_epochs + 128:
+            self.obs = dataclasses.replace(
+                self.obs, history_len=self.chunk_epochs + 128)
 
 
 @dataclasses.dataclass
@@ -94,6 +98,7 @@ class Receiver:
             pvt_kf = PvtKf()
         collected = [] if collect_track_outputs else None
         epoch_base = [0] * n_ch   # telemetry epoch counter base per channel
+        acq_engines = {}          # PRN tuple -> engine (replica FFT cache)
 
         import jax.numpy as jnp
         x_dev = jnp.asarray(np.ascontiguousarray(x, dtype=np.complex64))
@@ -110,8 +115,12 @@ class Receiver:
             mgr.schedule()
             acquiring = mgr.acquiring_channels()
             if acquiring:
-                prns_search = [mgr.channels[c].prn for c in acquiring]
-                acq_eng = PcpsAcquisitionEngine(conf.acq, prns=prns_search)
+                prns_search = tuple(mgr.channels[c].prn for c in acquiring)
+                acq_eng = acq_engines.get(prns_search)
+                if acq_eng is None:
+                    acq_eng = PcpsAcquisitionEngine(conf.acq,
+                                                    prns=prns_search)
+                    acq_engines[prns_search] = acq_eng
                 need = acq_eng.n_samples_needed
                 if cursor + need <= len(x):
                     res = acq_eng.acquire(x[cursor:cursor + need],

@@ -27,6 +27,7 @@ CODES_PER_BIT = 20
 class _ChannelTlmState:
     prompts_i: list = dataclasses.field(default_factory=list)
     epoch_count: int = 0
+    n_seen: int = 0                # valid epochs since channel (re)start
     prompt_base: int = -1          # global epoch index of prompts_i[0]
     bit_phase: int | None = None        # epoch index mod 20 of bit starts
     transition_hist: np.ndarray = dataclasses.field(
@@ -90,7 +91,8 @@ class TelemetryDecoder:
                     st.prompt_base = idx
                 st.prompts_i.append(pi)
                 st.epoch_count += 1
-                if st.bit_phase is None and st.epoch_count - base >= 200:
+                st.n_seen += 1
+                if st.bit_phase is None and st.n_seen >= 200:
                     self._try_bit_sync(st)
             if st.bit_phase is not None:
                 self._emit_bits(st, c, new_eph)

@@ -180,7 +180,10 @@ def _dll_pll_update(conf: TrackingConf, state: TrackState, prompt,
         out_gain = 1.414213562 * wn
     # FLL assist during pull-in: nudge the frequency integrator directly
     # (reference FLL-assisted-PLL pull-in mode, run_dll_pll :1080-1099).
-    if conf.enable_fll_pullin and apply_fll:
+    # Channels with a secondary code never use it: the every-epoch symbol
+    # flips corrupt ~half the cross-dot pairs before sync.
+    if conf.enable_fll_pullin and apply_fll \
+            and len(conf.secondary_code) == 0:
         freq_err = discriminators.fll_cross_dot(
             state.prompt_prev, prompt, t_int)
         in_pullin = (state.epoch > 0) & (state.epoch < conf.fll_pullin_epochs)
@@ -287,10 +290,12 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
     # acquire_secondary(), dll_pll_veml_tracking.cc:925-969) ----------------
     if len(conf.secondary_code) > 0:
         n_sec = len(conf.secondary_code)
-        sec_arr = jnp.asarray(np.array(conf.secondary_code, np.float32)
-                              * 2.0 - 1.0
-                              if set(conf.secondary_code) <= {0, 1}
-                              else np.array(conf.secondary_code, np.float32))
+        assert n_sec <= N_SEC_MAX, \
+            f"secondary code longer than N_SEC_MAX={N_SEC_MAX}"
+        sec_np = (np.array(conf.secondary_code, np.float32) * 2.0 - 1.0
+                  if set(conf.secondary_code) <= {0, 1}
+                  else np.array(conf.secondary_code, np.float32))
+        sec_arr = jnp.asarray(sec_np)
         sign_now = jnp.where(jnp.real(prompt) >= 0.0, 1.0, -1.0)
         slot = jnp.mod(state.epoch, n_sec)
         slot_hot = (jnp.arange(N_SEC_MAX, dtype=jnp.int32)[None, :]
@@ -299,9 +304,6 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         # hard sign-match over all cyclic shifts: buf[i] must equal
         # polarity * sec[(i+off) % n] for exactly one off with |corr| == n
         shift_mat = np.zeros((n_sec, N_SEC_MAX), np.float32)
-        sec_np = (np.array(conf.secondary_code, np.float32) * 2.0 - 1.0
-                  if set(conf.secondary_code) <= {0, 1}
-                  else np.array(conf.secondary_code, np.float32))
         for off in range(n_sec):
             shift_mat[off, :n_sec] = sec_np[(np.arange(n_sec) + off) % n_sec]
         corr_sec = sec_buf @ jnp.asarray(shift_mat).T          # [C, n_sec]
@@ -522,8 +524,9 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         "carrier_doppler_hz": state.carrier_doppler,
         "code_freq_cps": state.code_freq,
         "rem_code_phase_chips": state.rem_code_phase,
-        # accumulated carrier phase at epoch END (cycles, Kahan-corrected)
-        "acc_phase_cycles": t_sum + comp,
+        # accumulated carrier phase at epoch END (cycles; Kahan: the
+        # compensation holds the EXCESS added, so true sum = t - c)
+        "acc_phase_cycles": t_sum - comp,
         # replica chips past the code boundary at epoch end, in samples:
         # the exact (fractional) receiver sample of the boundary is
         # sample_counter - code_phase_samples (gnss_synchro.h
@@ -647,6 +650,11 @@ class TrackingEngine:
                + np.asarray(self.state.pos, np.int64))
         if (rel[active] < 0).any():
             raise ValueError("sample array starts after a channel position")
+        if int(rel.max()) + n_epochs * (self.conf.nominal_epoch_samples + 2) \
+                >= 2 ** 31:
+            raise ValueError(
+                "chunk-relative position would overflow int32; feed the "
+                "engine a windowed sample array with a larger x_abs_start")
         need = int(rel[active].max()) + n_epochs * (
             self.conf.nominal_epoch_samples + 2) + self.conf.block_size
         if len(x) < need:
