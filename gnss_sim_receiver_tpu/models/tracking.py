@@ -51,6 +51,10 @@ class TrackingConf:
     fll_bw_hz: float = 15.0
     fll_pullin_epochs: int = 250
     early_late_space_chips: float = 0.5
+    # > 0 adds very-early/very-late taps (5-tap VEML, the BOC sideband
+    # disambiguator of dll_pll_VEML_tracking; used with the
+    # dll_nc_vemlp_normalized discriminator)
+    very_early_late_space_chips: float = 0.0
     cn0_window_epochs: int = 20
     cn0_min_db_hz: float = 25.0
     carrier_lock_threshold: float = 0.75
@@ -284,7 +288,13 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
     corr = correlator.correlate_multitap(
         blocks, codes, taps, state.rem_code_phase, state.code_freq,
         state.rem_carr_phase, state.carrier_doppler, n_c, fs)
-    early, prompt, late = corr[:, 0], corr[:, 1], corr[:, 2]
+    veml = conf.very_early_late_space_chips > 0.0
+    if veml:   # taps = [VE, E, P, L, VL]
+        v_early, early, prompt, late, v_late = (corr[:, 0], corr[:, 1],
+                                                corr[:, 2], corr[:, 3],
+                                                corr[:, 4])
+    else:
+        early, prompt, late = corr[:, 0], corr[:, 1], corr[:, 2]
 
     # --- secondary-code sync + wipeoff (pilot channels; reference
     # acquire_secondary(), dll_pll_veml_tracking.cc:925-969) ----------------
@@ -335,9 +345,14 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
 
     # --- loop closure (run_dll_pll :1065, or the kf_tracking KF) -----------
     carr_err_cyc = discriminators.pll_costas(prompt_w) / (2.0 * jnp.pi)
-    code_err_chips = discriminators.dll_nc_e_minus_l_normalized(
-        jnp.abs(early), jnp.abs(late),
-        jnp.float32(conf.early_late_space_chips))
+    if veml:
+        code_err_chips = discriminators.dll_nc_vemlp_normalized(
+            jnp.abs(v_early), jnp.abs(early), jnp.abs(late),
+            jnp.abs(v_late), jnp.float32(conf.early_late_space_chips))
+    else:
+        code_err_chips = discriminators.dll_nc_e_minus_l_normalized(
+            jnp.abs(early), jnp.abs(late),
+            jnp.float32(conf.early_late_space_chips))
     if conf.tracking_mode == "kf":
         (carrier_doppler, code_freq, dtau_chips, dphi_cyc, kf_p_new,
          kf_fdot_new) = _kf_update(conf, state, prompt_w, carr_err_cyc,
@@ -573,7 +588,12 @@ class TrackingEngine:
             else np.zeros(conf.code_length_chips, np.float32)
             for p in self.prns]))
         d = conf.early_late_space_chips
-        self.taps = jnp.asarray(np.array([+d / 2, 0.0, -d / 2], np.float32))
+        dv = conf.very_early_late_space_chips
+        if dv > 0.0:   # 5-tap VEML (reference very-early spacing, e.g. E1)
+            tap_list = [+dv, +d / 2, 0.0, -d / 2, -dv]
+        else:
+            tap_list = [+d / 2, 0.0, -d / 2]
+        self.taps = jnp.asarray(np.array(tap_list, np.float32))
         self.state = _init_state(self.n_channels)
         self.abs_start = np.zeros(self.n_channels, np.int64)  # abs sample of pos==0
 

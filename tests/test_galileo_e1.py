@@ -91,3 +91,28 @@ def test_e1b_tracking_converges():
     # nav symbols at 250 sps recoverable from prompt signs
     signs = np.sign(p.real)
     assert (np.abs(signs.sum()) < 60)   # random symbols -> mixed signs
+
+
+def test_e1b_veml_tracking():
+    """5-tap VEML tracking on the BOC signal (the reference core's
+    namesake: very-early/very-late taps + vemlp discriminator)."""
+    sat, x = _e1_scenario()
+    eng = _acq_engine([11])
+    res = eng.acquire(x)
+    conf = TrackingConf(
+        fs=FS, code_rate_cps=SIG.sc_rate, code_length_chips=SIG.sc_length,
+        carrier_freq_hz=SIG.carrier_freq_hz,
+        early_late_space_chips=0.5,          # sub-chips
+        very_early_late_space_chips=1.2,     # ~0.6 E1 chips (reference VE)
+        enable_fll_pullin=False,
+        fll_pullin_epochs=100)
+    trk = TrackingEngine(conf, prns=[11], code_provider=_code_provider)
+    assert trk.taps.shape == (5,)
+    trk.start_tracking(0, float(res.doppler_hz[0]),
+                       int(res.samplestamp + res.delay_samples[0]))
+    outs = trk.process(x, 0, 280)
+    dop = outs["carrier_doppler_hz"][:, 0]
+    assert abs(dop[-60:].mean() - 1800.0) < 6.0
+    assert not bool(np.asarray(trk.state.lock_lost)[0])
+    p = outs["prompt"][-60:, 0]
+    assert np.abs(p.real).mean() > 4 * np.abs(p.imag).mean()
