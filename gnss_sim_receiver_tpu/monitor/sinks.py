@@ -109,3 +109,25 @@ class MonitorPvtUdpSink:
         m.vel_e, m.vel_n, m.vel_u = map(float, enu)
         m.geohash = geohash(np.degrees(lat), np.degrees(lon))
         self.sender.send(m.SerializeToString())
+
+
+class NavMessageUdpSink:
+    """Streams decoded navigation-message units (reference
+    nav_message_monitor + nav_message_udp_sink, src/core/libs/): one navMsg
+    datagram per decoded LNAV subframe, parseable by the reference's
+    nav-listener utility."""
+
+    def __init__(self, addresses, port: int):
+        from gnss_sim_receiver_tpu.monitor import nav_message_pb2
+        self._pb = nav_message_pb2
+        self.sender = _UdpSender(addresses, port)
+
+    def send_subframe(self, prn: int, tow_ms: float, bits,
+                      system: str = "G", signal: str = "1C") -> None:
+        m = self._pb.navMsg()
+        m.system = system
+        m.signal = signal
+        m.prn = int(prn)
+        m.tow_at_current_symbol_ms = int(tow_ms)
+        m.nav_message = "".join("1" if int(b) else "0" for b in bits)
+        self.sender.send(m.SerializeToString())

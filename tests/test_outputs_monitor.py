@@ -135,3 +135,21 @@ def test_synchro_udp_monitor(sol):
     assert len(m.observable) == 2
     assert m.observable[0].prn == 5
     assert abs(m.observable[0].carrier_doppler_hz - 321.0) < 1e-9
+
+
+def test_nav_message_udp_monitor():
+    from gnss_sim_receiver_tpu.monitor.sinks import NavMessageUdpSink
+    recv = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    recv.settimeout(5.0)
+    sink = NavMessageUdpSink(["127.0.0.1"], recv.getsockname()[1])
+    bits = np.tile([1, 0, 0, 0, 1, 0, 1, 1], 38)[:300]
+    sink.send_subframe(7, 345606_000, bits)
+    data, _ = recv.recvfrom(65536)
+    from gnss_sim_receiver_tpu.monitor import nav_message_pb2
+    m = nav_message_pb2.navMsg()
+    m.ParseFromString(data)
+    assert m.prn == 7
+    assert m.signal == "1C"
+    assert len(m.nav_message) == 300
+    assert m.nav_message.startswith("10001011")
