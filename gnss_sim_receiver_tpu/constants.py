@@ -10,6 +10,7 @@ SPEED_OF_LIGHT_M_S = 299_792_458.0
 GPS_GM = 3.986005e14          # WGS-84 earth gravitational constant [m^3/s^2]
 GPS_OMEGA_EARTH_DOT = 7.2921151467e-5  # WGS-84 earth rotation rate [rad/s]
 GPS_F_RELATIVISTIC = -4.442807633e-10  # relativistic clock factor [s/m^0.5]
+GALILEO_GM = 3.986004418e14   # GTRF earth gravitational constant [m^3/s^2]
 
 # --- GPS L1 C/A (reference: src/core/system_parameters/GPS_L1_CA.h) ---------
 GPS_L1_FREQ_HZ = 1_575.42e6

@@ -21,6 +21,7 @@ from gnss_sim_receiver_tpu.nav.ephemeris import (GpsEphemeris,
                                                  fields_to_ephemeris)
 
 CODES_PER_BIT = 20
+E1B_EPOCH_MS = 4.0   # one 250-sps INAV symbol per 4 ms E1B code epoch
 
 
 @dataclasses.dataclass
@@ -154,3 +155,106 @@ class TelemetryDecoder:
                                 or st.ephemeris.toe != eph.toe):
                             st.ephemeris = eph
                             new_eph.append((c, eph))
+
+
+# ---------------------------------------------------------------------------
+# Galileo E1B INAV telemetry (the reference's unified
+# galileo_telemetry_decoder_gs with frame_type=1, host-side)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _GalChannelTlmState:
+    epoch_count: int = 0
+    symbol_base: int = -1       # global epoch index of the first symbol fed
+    decoder: object = None      # nav.inav.InavPageDecoder
+    words: dict = dataclasses.field(default_factory=dict)  # wt -> fields
+    words_iod: dict = dataclasses.field(default_factory=dict)
+    anchor_epoch: int | None = None
+    anchor_tow_ms: float = 0.0
+    ephemeris: object = None
+    iono: dict | None = None
+
+
+class GalileoE1bTelemetryDecoder:
+    """Consumes TrackingEngine outputs for E1B channels (4 ms epochs = one
+    250-sps INAV symbol each) and produces TOW stamps + Galileo ephemerides.
+
+    Same process() interface as TelemetryDecoder; page/word logic lives in
+    nav.inav (galileo_telemetry_decoder_gs.cc / galileo_inav_message.cc
+    equivalents).  TOW anchoring follows the reference's
+    TOW_at_Preamble = TOW_5 semantics (galileo_telemetry_decoder_gs.cc:1109):
+    word 5's page-start symbol is transmitted at GST TOW_5."""
+
+    def __init__(self, prns):
+        from gnss_sim_receiver_tpu.nav.inav import InavPageDecoder
+        self._mk = InavPageDecoder
+        self.prns = [int(p) for p in prns]
+        self.ch = [_GalChannelTlmState(decoder=InavPageDecoder())
+                   for _ in self.prns]
+
+    def reset_channel(self, c: int, prn: int | None = None,
+                      epoch_base: int | None = None) -> None:
+        st = _GalChannelTlmState(decoder=self._mk())
+        if epoch_base is not None:
+            st.epoch_count = epoch_base
+        self.ch[c] = st
+        if prn is not None:
+            self.prns[c] = int(prn)
+
+    def process(self, track_outs: dict) -> TelemetryOutputs:
+        from gnss_sim_receiver_tpu.nav.ephemeris import \
+            words_to_galileo_ephemeris
+        prompts = track_outs["prompt"]
+        valid = track_outs["valid"]
+        t_len, n_ch = prompts.shape
+        tow = np.full((t_len, n_ch), np.nan)
+        new_eph = []
+        for c in range(n_ch):
+            st = self.ch[c]
+            base = st.epoch_count
+            soft = []
+            for e in range(t_len):
+                if not valid[e, c]:
+                    st.epoch_count += 1
+                    continue
+                if st.symbol_base < 0:
+                    st.symbol_base = st.epoch_count
+                soft.append(float(prompts[e, c].real))
+                st.epoch_count += 1
+            for ev in st.decoder.push_symbols(soft):
+                if not ev.crc_ok:
+                    continue
+                self._handle_word(st, c, ev, new_eph,
+                                  words_to_galileo_ephemeris)
+            if st.anchor_epoch is not None:
+                for e in range(t_len):
+                    idx = base + e
+                    if valid[e, c] and idx >= st.anchor_epoch:
+                        tow[e, c] = (st.anchor_tow_ms
+                                     + (idx + 1 - st.anchor_epoch)
+                                     * E1B_EPOCH_MS)
+        return TelemetryOutputs(tow_at_epoch_ms=tow,
+                                tow_valid=~np.isnan(tow),
+                                new_ephemerides=new_eph)
+
+    def _handle_word(self, st, c, ev, new_eph, to_eph) -> None:
+        wt = ev.word_type
+        if wt in (1, 2, 3, 4):
+            st.words[wt] = ev.fields
+            st.words_iod[wt] = int(ev.fields["iod_nav"])
+        elif wt == 5:
+            st.words[5] = ev.fields
+            # TOW anchor: page start symbol was transmitted at TOW_5
+            st.anchor_epoch = st.symbol_base + ev.page_start_symbol
+            st.anchor_tow_ms = ev.fields["tow"] * 1000.0
+            st.iono = {k: ev.fields.get(k, 0.0)
+                       for k in ("ai0", "ai1", "ai2")}
+        if all(k in st.words for k in (1, 2, 3, 4)):
+            iods = {st.words_iod[k] for k in (1, 2, 3, 4)}
+            if len(iods) == 1:
+                eph = to_eph(self.prns[c], st.words)
+                if (st.ephemeris is None
+                        or st.ephemeris.iod_nav != eph.iod_nav
+                        or st.ephemeris.toe != eph.toe):
+                    st.ephemeris = eph
+                    new_eph.append((c, eph))
