@@ -56,9 +56,10 @@ def main():
     prns = [(i % 32) + 1 for i in range(n_channels)]
     rng = np.random.default_rng(0)
     chunk_len = conf.nominal_epoch_samples * (n_epochs + 2) + conf.block_size
-    x = jnp.asarray((rng.standard_normal(chunk_len)
-                     + 1j * rng.standard_normal(chunk_len))
-                    .astype(np.complex64))
+    from gnss_sim_receiver_tpu.utils import xfer
+    x = xfer.device_put_complex(
+        (rng.standard_normal(chunk_len)
+         + 1j * rng.standard_normal(chunk_len)).astype(np.complex64))
 
     realtime_factor, msamp_s = _bench_tracking(
         trk, prn_codes, jax, jnp, fs, n_channels, n_epochs, x)
@@ -104,8 +105,8 @@ def main():
     sampled = np.stack([prn_codes.sample_code(prn_codes.gps_l1_ca_code(p),
                                               fs, 1.023e6, fft)
                         for p in prns])
-    cfc = jnp.asarray(np.conj(np.fft.fft(sampled, axis=-1))
-                      .astype(np.complex64))
+    cfc = xfer.device_put_complex(np.conj(np.fft.fft(sampled, axis=-1))
+                                  .astype(np.complex64))
     dops = jnp.asarray(pcps.doppler_grid(5000.0, 250.0))
     xd = x[: 2 * fft].reshape(2, fft)
 

@@ -22,6 +22,7 @@ import numpy as np
 
 from gnss_sim_receiver_tpu import constants
 from gnss_sim_receiver_tpu.ops import pcps, prn_codes
+from gnss_sim_receiver_tpu.utils import xfer
 
 
 @dataclasses.dataclass
@@ -74,7 +75,7 @@ class PcpsAcquisitionEngine:
             prn_codes.sample_code(np.asarray(code_provider(p), np.float32),
                                   fs, sc_rate, self.fft_size)
             for p in self.prns])
-        self.code_fft_conj = jnp.asarray(
+        self.code_fft_conj = xfer.device_put_complex(
             np.conj(np.fft.fft(codes, axis=-1)).astype(np.complex64))
         self.dopplers = jnp.asarray(pcps.doppler_grid(
             conf.doppler_max, conf.doppler_step, conf.doppler_center))
@@ -94,7 +95,7 @@ class PcpsAcquisitionEngine:
         n = self.fft_size
         if len(x) < m * n:
             raise ValueError(f"need {m * n} samples, got {len(x)}")
-        x_dwells = jnp.asarray(
+        x_dwells = xfer.device_put_complex(
             np.asarray(x[: m * n], dtype=np.complex64).reshape(m, n))
         grid = pcps.pcps_grid(x_dwells, self.code_fft_conj, self.dopplers,
                               float(self.conf.fs_in))
@@ -104,8 +105,9 @@ class PcpsAcquisitionEngine:
         else:
             stat, dop_idx, del_idx = pcps.first_vs_second_peak_stat(
                 grid, self.samples_per_chip)
-        stat = np.asarray(stat)
-        doppler_hz = np.asarray(self.dopplers)[np.asarray(dop_idx)]
+        stat = xfer.host_get(stat)
+        del_idx = xfer.host_get(del_idx)
+        doppler_hz = np.asarray(self.dopplers)[xfer.host_get(dop_idx)]
         if self.conf.make_two_steps:
             doppler_hz, stat2 = self._refine(x_dwells, doppler_hz)
             stat = np.maximum(stat, stat2)
@@ -137,6 +139,6 @@ class PcpsAcquisitionEngine:
             stat, dop_idx, _ = pcps.max_to_input_power_stat(
                 grid, jnp.float32(x_dwells.shape[0]))
             best_dop[ci] = float(coarse_doppler_hz[ci]
-                                 + offsets[int(dop_idx[0])])
-            best_stat[ci] = float(stat[0])
+                                 + offsets[int(xfer.host_get(dop_idx)[0])])
+            best_stat[ci] = float(xfer.host_get(stat)[0])
         return best_dop, best_stat

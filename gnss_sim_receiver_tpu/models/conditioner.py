@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gnss_sim_receiver_tpu.ops import filters, resampler
+from gnss_sim_receiver_tpu.utils import xfer
 from gnss_sim_receiver_tpu.utils.config import Configuration
 
 
@@ -56,7 +57,7 @@ class SignalConditioner:
             self.fs_out = self._res_fs_out
 
     def process(self, x: np.ndarray) -> np.ndarray:
-        y = jnp.asarray(np.ascontiguousarray(x, dtype=np.complex64))
+        y = xfer.device_put_complex(np.asarray(x, dtype=np.complex64))
         impl = self.filter_impl
         if impl == "Fir_Filter":
             y = filters.fir_filter(y, self._taps, self._decim)
@@ -82,4 +83,4 @@ class SignalConditioner:
             y = resampler.linear_resampler(y, self._res_ratio, n_out)
         elif self.resampler_impl != "Pass_Through":
             raise ValueError(f"unknown Resampler {self.resampler_impl}")
-        return np.asarray(y)
+        return xfer.host_get(y)

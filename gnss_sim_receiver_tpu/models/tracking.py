@@ -32,6 +32,7 @@ from gnss_sim_receiver_tpu.ops import cn0 as cn0_ops
 from gnss_sim_receiver_tpu.ops import correlator, discriminators
 from gnss_sim_receiver_tpu.ops import loop_filters as lf
 from gnss_sim_receiver_tpu.ops import prn_codes
+from gnss_sim_receiver_tpu.utils import xfer
 
 N_SEC_MAX = 32   # longest supported secondary code (NH20, CS25 fit)
 
@@ -136,7 +137,11 @@ class TrackState(NamedTuple):
     sec_polarity: jnp.ndarray      # [C] +-1 (180-deg phase lock flag)
 
 
+@partial(jax.jit, static_argnames=("n_channels",))
 def _init_state(n_channels: int) -> TrackState:
+    # jitted so the complex64 zero constants are compiled on device (an
+    # eager complex-constant upload is unimplemented on the axon backend
+    # and poisons every later transfer in the process — utils.xfer)
     z = lambda dt=jnp.float32: jnp.zeros(n_channels, dt)
     return TrackState(
         active=z(bool), pos=z(jnp.int32), rem_code_phase=z(),
@@ -160,6 +165,47 @@ def _init_state(n_channels: int) -> TrackState:
         sec_buf=jnp.zeros((n_channels, N_SEC_MAX), jnp.float32),
         sec_synced=z(bool), sec_off=z(jnp.int32),
         sec_polarity=jnp.ones(n_channels, jnp.float32),
+    )
+
+
+@jax.jit
+def _arm_channel(s: TrackState, ch, doppler_hz, code_freq0) -> TrackState:
+    """Channel-arming state update, jitted for the same axon reason as
+    _init_state (eager complex-scalar .at[].set uploads)."""
+    return s._replace(
+        active=s.active.at[ch].set(True),
+        pos=s.pos.at[ch].set(0),
+        rem_code_phase=s.rem_code_phase.at[ch].set(0.0),
+        code_freq=s.code_freq.at[ch].set(code_freq0),
+        carrier_doppler=s.carrier_doppler.at[ch].set(doppler_hz),
+        rem_carr_phase=s.rem_carr_phase.at[ch].set(0.0),
+        acc_phase_cycles=s.acc_phase_cycles.at[ch].set(0.0),
+        acc_phase_comp=s.acc_phase_comp.at[ch].set(0.0),
+        dll=lf.LoopFilterState(vel=s.dll.vel.at[ch].set(0.0),
+                               acc=s.dll.acc.at[ch].set(0.0)),
+        pll=lf.LoopFilterState(vel=s.pll.vel.at[ch].set(doppler_hz),
+                               acc=s.pll.acc.at[ch].set(0.0)),
+        prompt_prev=s.prompt_prev.at[ch].set(0.0 + 0.0j),
+        epoch=s.epoch.at[ch].set(0),
+        cn0_db_hz=s.cn0_db_hz.at[ch].set(0.0),
+        carrier_lock=s.carrier_lock.at[ch].set(1.0),
+        lock_fail=s.lock_fail.at[ch].set(0.0),
+        lock_lost=s.lock_lost.at[ch].set(False),
+        kf_p=s.kf_p.at[ch].set(jnp.diag(jnp.asarray(
+            [0.1, 0.1, 100.0, 10.0], jnp.float32))),
+        kf_fdot=s.kf_fdot.at[ch].set(0.0),
+        bit_hist=s.bit_hist.at[ch].set(0.0),
+        prev_sign=s.prev_sign.at[ch].set(0.0),
+        bit_synced=s.bit_synced.at[ch].set(False),
+        bit_phase=s.bit_phase.at[ch].set(0),
+        ext_p=s.ext_p.at[ch].set(0.0 + 0.0j),
+        ext_e=s.ext_e.at[ch].set(0.0 + 0.0j),
+        ext_l=s.ext_l.at[ch].set(0.0 + 0.0j),
+        ext_n=s.ext_n.at[ch].set(0),
+        sec_buf=s.sec_buf.at[ch].set(0.0),
+        sec_synced=s.sec_synced.at[ch].set(False),
+        sec_off=s.sec_off.at[ch].set(0),
+        sec_polarity=s.sec_polarity.at[ch].set(1.0),
     )
 
 
@@ -616,46 +662,28 @@ class TrackingEngine:
         at the absolute sample where a code period begins
         (acq samplestamp + delay), Doppler seeds the PLL integrator
         (reference start_tracking(), dll_pll_veml_tracking.cc:643-884)."""
-        s = self.state
-        upd = {
-            "active": s.active.at[ch].set(True),
-            "pos": s.pos.at[ch].set(0),
-            "rem_code_phase": s.rem_code_phase.at[ch].set(0.0),
-            "code_freq": s.code_freq.at[ch].set(
-                self.conf.code_rate_cps
-                * (1.0 + doppler_hz / self.conf.carrier_freq_hz)),
-            "carrier_doppler": s.carrier_doppler.at[ch].set(doppler_hz),
-            "rem_carr_phase": s.rem_carr_phase.at[ch].set(0.0),
-            "acc_phase_cycles": s.acc_phase_cycles.at[ch].set(0.0),
-            "acc_phase_comp": s.acc_phase_comp.at[ch].set(0.0),
-            "dll": lf.LoopFilterState(vel=s.dll.vel.at[ch].set(0.0),
-                                      acc=s.dll.acc.at[ch].set(0.0)),
-            "pll": lf.LoopFilterState(vel=s.pll.vel.at[ch].set(doppler_hz),
-                                      acc=s.pll.acc.at[ch].set(0.0)),
-            "prompt_prev": s.prompt_prev.at[ch].set(0.0 + 0.0j),
-            "epoch": s.epoch.at[ch].set(0),
-            "cn0_db_hz": s.cn0_db_hz.at[ch].set(0.0),
-            "carrier_lock": s.carrier_lock.at[ch].set(1.0),
-            "lock_fail": s.lock_fail.at[ch].set(0.0),
-            "lock_lost": s.lock_lost.at[ch].set(False),
-            "kf_p": s.kf_p.at[ch].set(jnp.diag(jnp.asarray(
-                [0.1, 0.1, 100.0, 10.0], jnp.float32))),
-            "kf_fdot": s.kf_fdot.at[ch].set(0.0),
-            "bit_hist": s.bit_hist.at[ch].set(0.0),
-            "prev_sign": s.prev_sign.at[ch].set(0.0),
-            "bit_synced": s.bit_synced.at[ch].set(False),
-            "bit_phase": s.bit_phase.at[ch].set(0),
-            "ext_p": s.ext_p.at[ch].set(0.0 + 0.0j),
-            "ext_e": s.ext_e.at[ch].set(0.0 + 0.0j),
-            "ext_l": s.ext_l.at[ch].set(0.0 + 0.0j),
-            "ext_n": s.ext_n.at[ch].set(0),
-            "sec_buf": s.sec_buf.at[ch].set(0.0),
-            "sec_synced": s.sec_synced.at[ch].set(False),
-            "sec_off": s.sec_off.at[ch].set(0),
-            "sec_polarity": s.sec_polarity.at[ch].set(1.0),
-        }
-        self.state = s._replace(**upd)
+        code_freq0 = (self.conf.code_rate_cps
+                      * (1.0 + doppler_hz / self.conf.carrier_freq_hz))
+        self.state = _arm_channel(self.state, ch, float(doppler_hz),
+                                  float(code_freq0))
         self.abs_start[ch] = int(abs_code_start_sample)
+
+
+    def max_position(self) -> int:
+        """Largest absolute sample position over active channels (how far
+        into the stream the next epoch would read)."""
+        active = np.asarray(self.state.active)
+        if not active.any():
+            return 0
+        pos = self.abs_start + np.asarray(self.state.pos, np.int64)
+        return int(pos[active].max())
+
+    def epochs_that_fit(self, stream_len: int) -> int:
+        """How many epochs every active channel can run without reading
+        past `stream_len` samples (worst-case epoch length nominal+2)."""
+        return max(0, int((stream_len - self.conf.block_size - 64
+                           - self.max_position())
+                          // (self.conf.nominal_epoch_samples + 2)))
 
     def process(self, x: np.ndarray, x_abs_start: int, n_epochs: int):
         """Track `n_epochs` epochs using samples `x` (absolute start index
@@ -680,10 +708,7 @@ class TrackingEngine:
         if len(x) < need:
             raise ValueError(f"need >= {need} samples, got {len(x)}")
         state = self.state._replace(pos=jnp.asarray(rel, jnp.int32))
-        if isinstance(x, jax.Array):
-            x_dev = x   # already device-resident (uploaded once by caller)
-        else:
-            x_dev = jnp.asarray(np.ascontiguousarray(x, dtype=np.complex64))
+        x_dev = xfer.device_put_complex(x)
         new_state, outs = track_chunk(self.conf, int(n_epochs), self.codes,
                                       self.taps, x_dev, state)
         # rebase back: abs position of next epoch start
@@ -691,7 +716,7 @@ class TrackingEngine:
         self.abs_start = new_pos
         self.state = new_state._replace(
             pos=jnp.zeros(self.n_channels, jnp.int32))
-        outs = {k: np.asarray(v) for k, v in outs.items()}
+        outs = xfer.host_get_tree(outs)
         outs["sample_counter"] = (np.asarray(outs["pos_start"], np.int64)
                                   + x_abs_start
                                   + np.asarray(outs["n_samples"], np.int64))
