@@ -28,6 +28,8 @@ _SUPPORTED_TRK = {
     "GPS_L1_CA_DLL_PLL_Tracking",
     "GPS_L1_CA_KF_Tracking",
 }
+_SUPPORTED_ACQ_1B = {"Galileo_E1_PCPS_Ambiguous_Acquisition"}
+_SUPPORTED_TRK_1B = {"Galileo_E1_DLL_PLL_VEML_Tracking"}
 
 
 @dataclasses.dataclass
@@ -118,12 +120,43 @@ def receiver_conf_from_config(config: Configuration) -> ReceiverConf:
         iono_model=config.property("PVT.iono_model", "OFF"),
         trop_model=config.property("PVT.trop_model", "OFF"),
     )
+    # Galileo E1B channel group (Channels_1B.count > 0 in hybrid confs,
+    # e.g. conf/gnss-sdr_Hybrid_byte.conf:52,97-118)
+    chains = []
+    n_1b = config.property("Channels_1B.count", 0)
+    if n_1b > 0:
+        acq_1b = config.property("Acquisition_1B.implementation",
+                                 "Galileo_E1_PCPS_Ambiguous_Acquisition")
+        if acq_1b not in _SUPPORTED_ACQ_1B:
+            raise NotImplementedError(f"acquisition {acq_1b}")
+        trk_1b = config.property("Tracking_1B.implementation",
+                                 "Galileo_E1_DLL_PLL_VEML_Tracking")
+        if trk_1b not in _SUPPORTED_TRK_1B:
+            raise NotImplementedError(f"tracking {trk_1b}")
+        from gnss_sim_receiver_tpu.models.receiver import galileo_e1b_chain
+        chain = galileo_e1b_chain(
+            fs, n_channels=n_1b,
+            pll_bw_hz=config.property("Tracking_1B.pll_bw_hz", 15.0),
+            dll_bw_hz=config.property("Tracking_1B.dll_bw_hz", 2.0))
+        chain.acq = dataclasses.replace(
+            chain.acq,
+            doppler_max=float(config.property("Acquisition_1B.doppler_max",
+                                              5000)),
+            doppler_step=float(config.property("Acquisition_1B.doppler_step",
+                                               125)))
+        ve = config.property("Tracking_1B.very_early_late_space_chips", 0.0)
+        if ve > 0:
+            chain.trk = dataclasses.replace(
+                chain.trk, very_early_late_space_chips=2.0 * ve)  # sub-chips
+        chains.append(chain)
+
     n_channels = config.property("Channels_1C.count", 8)
     return ReceiverConf(
         fs=fs, prns=tuple(range(1, 33)), max_channels=n_channels,
         acq=acq, trk=trk, obs=obs, pvt=pvt,
         output_rate_ms=config.property("PVT.output_rate_ms", 20),
         enable_pvt_kf=config.property("PVT.enable_pvt_kf", False),
+        chains=tuple(chains), gps_chain=(n_channels > 0),
     )
 
 

@@ -76,9 +76,13 @@ class ObservablesEngine:
         self.hist[c] = dict(t=[], tow=[], dop=[], ph=[], cn0=[])
         self._sm_lock[c] = False
 
-    def push_epochs(self, track_outs: dict, tlm_outs) -> None:
+    def push_epochs(self, track_outs: dict, tlm_outs,
+                    channel_offset: int = 0) -> None:
         """Append a batch of per-epoch records ([T, C] arrays from tracking
-        + telemetry)."""
+        + telemetry).  `channel_offset` maps a signal chain's local channel
+        axis into this engine's global channel space (the reference wires
+        every per-signal channel group into the one hybrid_observables
+        block the same way)."""
         t_len = track_outs["prompt"].shape[0]
         sc = track_outs["sample_counter"].astype(np.float64)
         cps = track_outs["code_phase_samples"].astype(np.float64)
@@ -87,8 +91,8 @@ class ObservablesEngine:
         cn0 = track_outs["cn0_db_hz"].astype(np.float64)
         valid = track_outs["valid"] & tlm_outs.tow_valid
         tow = tlm_outs.tow_at_epoch_ms
-        for c in range(self.n):
-            h = self.hist[c]
+        for c in range(valid.shape[1]):
+            h = self.hist[channel_offset + c]
             for e in range(t_len):
                 if not valid[e, c]:
                     continue

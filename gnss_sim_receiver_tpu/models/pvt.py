@@ -51,16 +51,27 @@ class PvtSolution:
 
 
 def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
-              x0=None) -> PvtSolution:
+              x0=None, systems=None) -> PvtSolution:
     """Solve position/time (+velocity) from one ObservationEpoch.
 
     obs: models.observables.ObservationEpoch
     prns: [C] channel -> PRN mapping
-    ephemerides: {prn: GpsEphemeris}
+    ephemerides: {prn: GpsEphemeris} for GPS; other constellations under
+      (system, prn) keys
+    systems: optional [C] channel -> constellation (default all "GPS");
+      mixed-constellation epochs assume a common timescale (GGTO = 0, true
+      for the simulator; broadcast GGTO is an extension hook)
     """
     prns = np.asarray(prns)
+    if systems is None:
+        systems = ["GPS"] * len(prns)
+
+    def _key(c):
+        return (int(prns[c]) if systems[c] == "GPS"
+                else (systems[c], int(prns[c])))
+
     idx = [c for c in range(len(prns))
-           if obs.valid[c] and int(prns[c]) in ephemerides]
+           if obs.valid[c] and _key(c) in ephemerides]
     bad = PvtSolution(False, np.zeros(3), 0.0, np.zeros(3), 0.0,
                       obs.rx_time_s, 0, 0, 0, 0, len(idx), np.array([]))
     if len(idx) < 4:
@@ -68,7 +79,7 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
 
     pr = obs.pseudorange_m[idx]
     tow_tx_s = obs.interp_tow_ms[idx] / 1000.0
-    ephs = [ephemerides[int(prns[c])] for c in idx]
+    ephs = [ephemerides[_key(c)] for c in idx]
 
     # satellite positions/clocks at transmit time (SV time -> GPS time
     # iteration via the SV clock polynomial, rtklib ephpos/ephclk)
@@ -81,7 +92,9 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
         t_gps = t_sv - clk
         pos, clk = eph.sat_pos_clock(t_gps)
         sat_pos[k] = pos
-        sat_clk[k] = clk + (eph.tgd if conf.apply_tgd else 0.0)
+        # single-frequency group delay: dt_sv(L1) = dt_sv - T_GD
+        # (IS-GPS-200 20.3.3.3.3.2; Galileo BGD is the same form)
+        sat_clk[k] = clk - (eph.tgd if conf.apply_tgd else 0.0)
         sat_vel[k] = eph.sat_vel(t_gps)
 
     # iterated LS for (x, y, z, c dtr)

@@ -8,6 +8,13 @@ tracking handoff, chunked tracking over the sample stream, telemetry,
 observables ticks and PVT epochs.  Device code (acquisition grids,
 tracking scans) is pure dataflow; everything here is sequencing, driven by
 the AcquisitionManager event model (models.control).
+
+Multi-constellation: the receiver runs one *signal chain* per configured
+signal (GPS L1 C/A "1C", Galileo E1B "1B", ...) over the same conditioned
+sample stream — the reference's per-signal channel groups
+(Channels_1C.count / Channels_1B.count, gnss_flowgraph.cc
+set_signals_list) — each with its own acquisition grid, tracking scan and
+telemetry decoder, all feeding one observables engine and one PVT solver.
 """
 
 from __future__ import annotations
@@ -28,6 +35,50 @@ from gnss_sim_receiver_tpu.models.tracking import TrackingConf, TrackingEngine
 
 
 @dataclasses.dataclass
+class SignalChainConf:
+    """One per-signal channel group (the reference's Channels_<sig> block +
+    its Acquisition_<sig>/Tracking_<sig> engine parameters)."""
+    signal: str = "1C"                 # "1C" (GPS L1 C/A) | "1B" (GAL E1B)
+    system: str = "GPS"
+    prns: tuple = tuple(range(1, 33))
+    n_channels: int = 8
+    max_acq_channels: int = 8
+    acq: AcqConf | None = None
+    trk: TrackingConf | None = None
+    code_provider: object = None       # prn -> +-1 sub-chip table
+    sc_rate: float | None = None       # sub-chip rate for acquisition
+
+    def telemetry_decoder(self, prns):
+        if self.signal == "1B":
+            from gnss_sim_receiver_tpu.models.telemetry import \
+                GalileoE1bTelemetryDecoder
+            return GalileoE1bTelemetryDecoder(prns)
+        return TelemetryDecoder(prns)
+
+
+def galileo_e1b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
+                      **trk_overrides) -> SignalChainConf:
+    """Convenience Galileo E1B chain: BOC(1,1) sub-chip engines, 4 ms
+    coherent acquisition, PLL-only pull-in (the reference disables FLL for
+    E1 for the same symbol-corruption reason)."""
+    from gnss_sim_receiver_tpu import signals
+    sig = signals.GALILEO_E1B
+    trk_kw = dict(
+        fs=fs, code_rate_cps=sig.sc_rate, code_length_chips=sig.sc_length,
+        carrier_freq_hz=sig.carrier_freq_hz, early_late_space_chips=0.5,
+        enable_fll_pullin=False, fll_pullin_epochs=100)
+    trk_kw.update(trk_overrides)
+    return SignalChainConf(
+        signal="1B", system="Galileo", prns=tuple(prns),
+        n_channels=n_channels, max_acq_channels=n_channels,
+        acq=AcqConf(fs_in=fs, sampled_ms=4, doppler_step=125.0,
+                    max_dwells=2, make_two_steps=True, doppler_step2=31.25),
+        trk=TrackingConf(**trk_kw),
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.sc_rate)
+
+
+@dataclasses.dataclass
 class ReceiverConf:
     fs: float = 2_000_000.0
     prns: tuple = tuple(range(1, 33))
@@ -37,9 +88,12 @@ class ReceiverConf:
     trk: TrackingConf | None = None
     obs: ObsConf | None = None
     pvt: PvtConf | None = None
-    chunk_epochs: int = 1000
+    chunk_epochs: int = 1000          # 1 ms epochs per chunk (chunk ~ 1 s)
     output_rate_ms: int = 20
     enable_pvt_kf: bool = False        # PVT.enable_pvt_kf (Pvt_Kf analogue)
+    chains: tuple = ()                # extra SignalChainConfs beyond GPS L1;
+    # set gps_chain=False to drop the implicit GPS L1 chain entirely
+    gps_chain: bool = True
 
     def __post_init__(self):
         if self.acq is None:
@@ -56,16 +110,53 @@ class ReceiverConf:
             self.obs = dataclasses.replace(
                 self.obs, history_len=self.chunk_epochs + 128)
 
+    def all_chains(self) -> list[SignalChainConf]:
+        out = []
+        if self.gps_chain:
+            out.append(SignalChainConf(
+                signal="1C", system="GPS", prns=tuple(self.prns),
+                n_channels=self.max_channels,
+                max_acq_channels=self.max_acq_channels,
+                acq=self.acq, trk=self.trk))
+        out.extend(self.chains)
+        if not out:
+            raise ValueError("receiver configured with no signal chains")
+        return out
+
 
 @dataclasses.dataclass
 class ReceiverRun:
     solutions: list            # [PvtSolution]
     observation_epochs: list   # [ObservationEpoch]
-    channel_prns: list[int]    # final PRN per channel (0 = idle)
+    channel_prns: list[int]    # final PRN per (global) channel (0 = idle)
     channel_states: list       # final ChannelState per channel
-    ephemerides: dict          # prn -> GpsEphemeris
+    ephemerides: dict          # prn (GPS) | (system, prn) -> GpsEphemeris
     events: list               # [(channel, ChannelEvent)]
     track_outputs: dict | None = None
+    channel_systems: list = () # constellation per channel
+
+
+class _ChainRt:
+    """Runtime state of one signal chain."""
+
+    def __init__(self, spec: SignalChainConf, obs_offset: int):
+        self.spec = spec
+        self.offset = obs_offset      # global channel index of channel 0
+        n = spec.n_channels
+        self.mgr = AcquisitionManager(spec.prns, n,
+                                      max_acq_channels=spec.max_acq_channels)
+        self.trk = TrackingEngine(spec.trk, prns=[0] * n,
+                                  code_provider=spec.code_provider)
+        self.tlm = spec.telemetry_decoder([0] * n)
+        self.nominal = spec.trk.nominal_epoch_samples
+        self.margin = spec.trk.block_size + 64
+        self.epoch_base = [0] * n
+        self.acq_engines = {}
+        self.done = 0
+        self.total = 0
+
+    def eph_key(self, prn: int):
+        return prn if self.spec.system == "GPS" else (self.spec.system, prn)
 
 
 class Receiver:
@@ -77,18 +168,23 @@ class Receiver:
                       ephemerides: dict | None = None) -> ReceiverRun:
         """Run the whole receiver over an in-memory sample array.
 
-        `ephemerides` ({prn: GpsEphemeris}) preloads assistance data for a
-        warm start (the reference's AGNSS / XML-assisted start,
-        control_thread.cc assist_GNSS + read_assistance_from_XML): PVT can
-        fix as soon as TOW is decoded, without waiting for subframes 1-3.
+        `ephemerides` preloads assistance data for a warm start (the
+        reference's AGNSS / XML-assisted start, control_thread.cc
+        assist_GNSS + read_assistance_from_XML): PVT can fix as soon as TOW
+        is decoded, without waiting for subframes 1-3.  Keys: PRN int for
+        GPS, (system, prn) otherwise.
+
+        Multi-constellation note: pseudoranges place every TOW on a common
+        timescale — valid for the simulator (GGTO = 0) and within a single
+        constellation; broadcast GGTO correction is a PVT extension hook.
         """
         conf = self.conf
-        n_ch = conf.max_channels
-        mgr = AcquisitionManager(conf.prns, n_ch,
-                                 max_acq_channels=conf.max_acq_channels)
-        trk = TrackingEngine(conf.trk, prns=[0] * n_ch)
-        tlm = TelemetryDecoder(prns=[0] * n_ch)
-        obs_eng = ObservablesEngine(conf.obs, n_channels=n_ch)
+        chains = []
+        n_total = 0
+        for spec in conf.all_chains():
+            chains.append(_ChainRt(spec, n_total))
+            n_total += spec.n_channels
+        obs_eng = ObservablesEngine(conf.obs, n_channels=n_total)
         ephemerides = dict(ephemerides or {})
         solutions = []
         obs_epochs = []
@@ -97,99 +193,143 @@ class Receiver:
             from gnss_sim_receiver_tpu.models.pvt_kf import PvtKf
             pvt_kf = PvtKf()
         collected = [] if collect_track_outputs else None
-        epoch_base = [0] * n_ch   # telemetry epoch counter base per channel
-        acq_engines = {}          # PRN tuple -> engine (replica FFT cache)
 
-        import jax.numpy as jnp
-        x_dev = jnp.asarray(np.ascontiguousarray(x, dtype=np.complex64))
+        from gnss_sim_receiver_tpu.utils import xfer
+        x_dev = xfer.device_put_complex(
+            np.ascontiguousarray(x, dtype=np.complex64))
 
-        nominal = conf.trk.nominal_epoch_samples
-        margin = conf.trk.block_size + 64
-        total_epochs = (len(x) - margin) // nominal - 2
-        done = 0
+        # chunk wall-duration from the (legacy) 1 ms-epoch count
+        chunk_s = conf.chunk_epochs * 1e-3
+        for rt in chains:
+            rt.total = (len(x) - rt.margin) // rt.nominal - 2
         cursor = 0                # absolute sample index of processing head
         last_fix = None
 
-        while done < total_epochs:
-            # --- acquisition scheduling on idle channels -------------------
-            mgr.schedule()
-            acquiring = mgr.acquiring_channels()
-            if acquiring:
-                prns_search = tuple(mgr.channels[c].prn for c in acquiring)
-                acq_eng = acq_engines.get(prns_search)
-                if acq_eng is None:
-                    acq_eng = PcpsAcquisitionEngine(conf.acq,
-                                                    prns=prns_search)
-                    acq_engines[prns_search] = acq_eng
-                need = acq_eng.n_samples_needed
-                if cursor + need <= len(x):
-                    res = acq_eng.acquire(x[cursor:cursor + need],
-                                          samplestamp=cursor)
-                    for k, c in enumerate(acquiring):
-                        ev = mgr.on_acq_result(c, bool(res.detected[k]),
-                                               float(res.doppler_hz[k]))
-                        if mgr.channels[c].state == ChannelState.TRACKING:
-                            prn = mgr.channels[c].prn
-                            trk.set_channel_prn(c, prn)
-                            trk.start_tracking(
-                                c, float(res.doppler_hz[k]),
-                                int(res.samplestamp
-                                    + res.delay_samples[k]))
-                            tlm.reset_channel(c, prn,
-                                              epoch_base=epoch_base[c])
-                            obs_eng.reset_channel(c)
+        while any(rt.done < rt.total for rt in chains):
+            tick_bounds = []      # per-chain "observables safe up to" sample
+            progressed = False
+            for rt in chains:
+                if rt.done >= rt.total:
+                    continue
+                mgr, spec = rt.mgr, rt.spec
+                # --- acquisition scheduling on idle channels ---------------
+                mgr.schedule()
+                acquiring = mgr.acquiring_channels()
+                if acquiring:
+                    prns_search = tuple(mgr.channels[c].prn
+                                        for c in acquiring)
+                    acq_eng = rt.acq_engines.get(prns_search)
+                    if acq_eng is None:
+                        acq_eng = PcpsAcquisitionEngine(
+                            spec.acq, prns=prns_search,
+                            code_provider=spec.code_provider,
+                            sc_rate=spec.sc_rate)
+                        rt.acq_engines[prns_search] = acq_eng
+                    need = acq_eng.n_samples_needed
+                    if cursor + need <= len(x):
+                        res = acq_eng.acquire(x[cursor:cursor + need],
+                                              samplestamp=cursor)
+                        for k, c in enumerate(acquiring):
+                            mgr.on_acq_result(c, bool(res.detected[k]),
+                                              float(res.doppler_hz[k]))
+                            if mgr.channels[c].state == ChannelState.TRACKING:
+                                prn = mgr.channels[c].prn
+                                rt.trk.set_channel_prn(c, prn)
+                                rt.trk.start_tracking(
+                                    c, float(res.doppler_hz[k]),
+                                    int(res.samplestamp
+                                        + res.delay_samples[k]))
+                                rt.tlm.reset_channel(
+                                    c, prn, epoch_base=rt.epoch_base[c])
+                                obs_eng.reset_channel(rt.offset + c)
 
-            # --- tracking chunk -------------------------------------------
-            tracking = mgr.tracking_channels()
-            n = min(conf.chunk_epochs, total_epochs - done)
-            if not tracking:
-                cursor += n * nominal
-                done += n
-                continue
-            outs = trk.process(x_dev, 0, n)
-            done += n
-            for c in range(n_ch):
-                epoch_base[c] += n
-            if collected is not None:
-                collected.append(outs)
-            tlm_res = tlm.process(outs)
-            for c, eph in tlm_res.new_ephemerides:
-                ephemerides[eph.prn] = eph
-            obs_eng.push_epochs(outs, tlm_res)
+                # --- tracking chunk ----------------------------------------
+                tracking = mgr.tracking_channels()
+                chunk_n = int(round(chunk_s / (rt.nominal / conf.fs)))
+                if not tracking:
+                    rt.done += min(chunk_n, rt.total - rt.done)
+                    continue
+                # late-acquired channels shift the chain's window: only as
+                # many epochs as fit before the stream end
+                n = min(chunk_n, rt.total - rt.done,
+                        rt.trk.epochs_that_fit(len(x)))
+                if n <= 0:
+                    rt.done = rt.total   # stream exhausted for this chain
+                    continue
+                rt.done += n
+                progressed = True
+                outs = rt.trk.process(x_dev, 0, n)
+                for c in range(spec.n_channels):
+                    rt.epoch_base[c] += n
+                if collected is not None:
+                    collected.append((spec.signal, outs))
+                tlm_res = rt.tlm.process(outs)
+                for c, eph in tlm_res.new_ephemerides:
+                    ephemerides[rt.eph_key(eph.prn)] = eph
+                obs_eng.push_epochs(outs, tlm_res,
+                                    channel_offset=rt.offset)
 
-            # --- loss-of-lock events --------------------------------------
-            lost = np.asarray(trk.state.lock_lost)
-            for c in tracking:
-                if lost[c]:
-                    mgr.on_tracking_lost(c)
-                    trk.stop_channel(c)
+                # --- loss-of-lock events -----------------------------------
+                lost = np.asarray(rt.trk.state.lock_lost)
+                for c in tracking:
+                    if lost[c]:
+                        mgr.on_tracking_lost(c)
+                        rt.trk.stop_channel(c)
 
-            # --- observables + PVT ----------------------------------------
-            valid_cols = np.asarray(outs["valid"][-1])
-            if valid_cols.any():
-                up_to = int(outs["sample_counter"][-1][valid_cols].min())
-                cursor = max(cursor, up_to - margin)
-                prn_map = [mgr.channels[c].prn for c in range(n_ch)]
-                for epoch in obs_eng.pull_ticks(up_to):
+                valid_cols = np.asarray(outs["valid"][-1])
+                if valid_cols.any():
+                    up_to = int(outs["sample_counter"][-1][valid_cols].min())
+                    tick_bounds.append(up_to)
+                    cursor = max(cursor, up_to - rt.margin)
+
+            # --- observables + PVT -----------------------------------------
+            if tick_bounds:
+                prn_map, sys_map = self._channel_maps(chains, n_total)
+                for epoch in obs_eng.pull_ticks(min(tick_bounds)):
                     obs_epochs.append(epoch)
                     sol = solve_pvt(epoch, prn_map, ephemerides, conf.pvt,
                                     x0=None if last_fix is None
-                                    else last_fix.rx_ecef_m)
+                                    else last_fix.rx_ecef_m,
+                                    systems=sys_map)
                     if sol.valid:
                         if pvt_kf is not None:
                             pvt_kf.update(sol)
                         last_fix = sol
                         solutions.append(sol)
-            else:
-                cursor += n * nominal
+            elif not progressed:
+                cursor += int(chunk_s * conf.fs)
 
         track_outputs = None
         if collected:
-            track_outputs = {k: np.concatenate([c[k] for c in collected])
-                             for k in collected[0]}
+            track_outputs = {}
+            for sig in {s for s, _ in collected}:
+                parts = [o for s, o in collected if s == sig]
+                track_outputs[sig] = {
+                    k: np.concatenate([p[k] for p in parts])
+                    for k in parts[0]}
+            if len(track_outputs) == 1:   # legacy single-chain shape
+                track_outputs = next(iter(track_outputs.values()))
+        prn_map, sys_map = self._channel_maps(chains, n_total)
+        states = []
+        for rt in chains:
+            states.extend(rt.mgr.channels[c].state
+                          for c in range(rt.spec.n_channels))
+        events = []
+        for rt in chains:
+            events.extend((rt.offset + c, ev) for c, ev in rt.mgr.events)
         return ReceiverRun(
             solutions=solutions, observation_epochs=obs_epochs,
-            channel_prns=[mgr.channels[c].prn for c in range(n_ch)],
-            channel_states=[mgr.channels[c].state for c in range(n_ch)],
-            ephemerides=ephemerides, events=list(mgr.events),
+            channel_prns=prn_map, channel_states=states,
+            channel_systems=sys_map,
+            ephemerides=ephemerides, events=events,
             track_outputs=track_outputs)
+
+    @staticmethod
+    def _channel_maps(chains, n_total):
+        prn_map = [0] * n_total
+        sys_map = ["GPS"] * n_total
+        for rt in chains:
+            for c in range(rt.spec.n_channels):
+                prn_map[rt.offset + c] = rt.mgr.channels[c].prn
+                sys_map[rt.offset + c] = rt.spec.system
+        return prn_map, sys_map

@@ -75,6 +75,27 @@ def test_cli_runs_receiver_from_conf(tmp_path, capsys):
     assert len([p for p in prns if p > 0]) >= 5
 
 
+def test_factory_parses_hybrid_conf():
+    """A reference hybrid GPS+Galileo conf yields a 1B signal chain
+    (conf/gnss-sdr_Hybrid_byte.conf: Channels_1C=10, Channels_1B=10)."""
+    conf = FileConfiguration("/root/reference/conf/gnss-sdr_Hybrid_byte.conf")
+    rc = receiver_conf_from_config(conf)
+    assert rc.fs == 20_000_000
+    assert rc.max_channels == 10 and rc.gps_chain
+    assert len(rc.chains) == 1
+    ch = rc.chains[0]
+    assert ch.signal == "1B" and ch.system == "Galileo"
+    assert ch.n_channels == 10
+    assert ch.acq.doppler_step == 125.0
+    assert ch.trk.pll_bw_hz == 15.0
+    # 0.6 E1 chips -> 1.2 sub-chips
+    assert ch.trk.very_early_late_space_chips == pytest.approx(1.2)
+    # two chains -> 20 global channels in one receiver
+    from gnss_sim_receiver_tpu.models.receiver import Receiver
+    assert sum(c.n_channels for c in rc.all_chains()) == 20
+    assert Receiver(rc) is not None
+
+
 def test_factory_rejects_unknown_blocks(tmp_path):
     conf = tmp_path / "bad.conf"
     conf.write_text("Acquisition_1C.implementation=Exotic_Acq\n")
