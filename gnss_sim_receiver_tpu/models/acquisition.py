@@ -40,6 +40,11 @@ class AcqConf:
     make_two_steps: bool = False
     doppler_step2: float = 125.0
     num_doppler_bins_step2: int = 4
+    # double the FFT so one full clean code period always exists even when
+    # a nav-symbol edge falls inside the dwell (pcps_acquisition.cc:607,656;
+    # use with CFAR — the peak repeats at delay+N and defeats the
+    # first-vs-second-peak statistic)
+    bit_transition_flag: bool = False
 
 
 @dataclasses.dataclass
@@ -68,13 +73,19 @@ class PcpsAcquisitionEngine:
         code_provider = code_provider or prn_codes.gps_l1_ca_code
         sc_rate = sc_rate or constants.GPS_L1_CA_CODE_RATE_CPS
         self.n_coherent = int(round(fs * 1e-3 * conf.sampled_ms))
-        self.fft_size = self.n_coherent
+        self.fft_size = (2 * self.n_coherent if conf.bit_transition_flag
+                         else self.n_coherent)
         self.samples_per_chip = max(1, int(round(fs / sc_rate)))
-        # local replica FFTs (adapter-side precompute in the reference)
+        # local replica FFTs (adapter-side precompute in the reference);
+        # bit-transition mode: one code period + zero padding, so each lag
+        # correlates N samples out of the 2N buffer
         codes = np.stack([
             prn_codes.sample_code(np.asarray(code_provider(p), np.float32),
-                                  fs, sc_rate, self.fft_size)
+                                  fs, sc_rate, self.n_coherent)
             for p in self.prns])
+        if conf.bit_transition_flag:
+            codes = np.concatenate(
+                [codes, np.zeros_like(codes)], axis=-1)
         self.code_fft_conj = xfer.device_put_complex(
             np.conj(np.fft.fft(codes, axis=-1)).astype(np.complex64))
         self.dopplers = jnp.asarray(pcps.doppler_grid(
@@ -111,10 +122,13 @@ class PcpsAcquisitionEngine:
         if self.conf.make_two_steps:
             doppler_hz, stat2 = self._refine(x_dwells, doppler_hz)
             stat = np.maximum(stat, stat2)
+        delay = np.asarray(del_idx, dtype=np.float64)
+        if self.conf.bit_transition_flag:
+            delay = np.mod(delay, self.n_coherent)   # peak repeats at +N
         return AcqResults(
             detected=stat > self.threshold,
             test_stat=stat,
-            delay_samples=np.asarray(del_idx, dtype=np.float64),
+            delay_samples=delay,
             doppler_hz=doppler_hz.astype(np.float64),
             threshold=self.threshold,
             samplestamp=int(samplestamp),

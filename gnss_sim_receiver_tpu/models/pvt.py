@@ -51,7 +51,7 @@ class PvtSolution:
 
 
 def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
-              x0=None, systems=None) -> PvtSolution:
+              x0=None, systems=None, carrier_freq_hz=None) -> PvtSolution:
     """Solve position/time (+velocity) from one ObservationEpoch.
 
     obs: models.observables.ObservationEpoch
@@ -165,8 +165,12 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
     hdop = float(np.sqrt(q_enu[0, 0] + q_enu[1, 1]))
     vdop = float(np.sqrt(q_enu[2, 2]))
 
-    # velocity: LS on Doppler (rtklib estvel): predicted range rate
-    lam = C / constants.GPS_L1_FREQ_HZ
+    # velocity: LS on Doppler (rtklib estvel): predicted range rate,
+    # per-channel carrier wavelength (L1/E1 default; L2/L5 chains differ)
+    if carrier_freq_hz is None:
+        lam = C / constants.GPS_L1_FREQ_HZ
+    else:
+        lam = C / np.asarray(carrier_freq_hz, np.float64)[idx]
     rate_meas = -lam * obs.carrier_doppler_hz[idx]
     hv = np.zeros((len(idx), 4))
     rhs = np.zeros(len(idx))

@@ -49,10 +49,18 @@ class SignalChainConf:
     sc_rate: float | None = None       # sub-chip rate for acquisition
 
     def telemetry_decoder(self, prns):
+        if self.signal == "5X":
+            from gnss_sim_receiver_tpu.models.telemetry import \
+                GalileoE5aTelemetryDecoder
+            return GalileoE5aTelemetryDecoder(prns)
         if self.signal == "1B":
             from gnss_sim_receiver_tpu.models.telemetry import \
                 GalileoE1bTelemetryDecoder
             return GalileoE1bTelemetryDecoder(prns)
+        if self.signal in ("2S", "L5"):
+            from gnss_sim_receiver_tpu.models.telemetry import \
+                GpsCnavTelemetryDecoder
+            return GpsCnavTelemetryDecoder(prns, signal=self.signal)
         return TelemetryDecoder(prns)
 
 
@@ -76,6 +84,82 @@ def galileo_e1b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         trk=TrackingConf(**trk_kw),
         code_provider=lambda p: signals.subchip_table(sig, p),
         sc_rate=sig.sc_rate)
+
+
+def gps_l2c_chain(fs: float, prns=tuple(range(1, 33)), n_channels=4,
+                  **trk_overrides) -> SignalChainConf:
+    """GPS L2C CM chain: 20 ms code epochs carrying one 50-sps CNAV
+    symbol each (the GPS_L2_M_* blocks of the reference)."""
+    from gnss_sim_receiver_tpu import signals
+    sig = signals.GPS_L2C_CM
+    trk_kw = dict(
+        fs=fs, code_rate_cps=sig.chip_rate_cps,
+        code_length_chips=sig.code_length_chips,
+        carrier_freq_hz=sig.carrier_freq_hz,
+        early_late_space_chips=0.5, pll_bw_hz=8.0, dll_bw_hz=0.75,
+        enable_fll_pullin=False,    # symbols flip every 20 ms epoch
+        fll_pullin_epochs=25, cn0_window_epochs=20)
+    trk_kw.update(trk_overrides)
+    return SignalChainConf(
+        signal="2S", system="GPS", prns=tuple(prns),
+        n_channels=n_channels, max_acq_channels=n_channels,
+        acq=AcqConf(fs_in=fs, sampled_ms=20, doppler_max=5000.0,
+                    doppler_step=60.0, max_dwells=1,
+                    make_two_steps=True, doppler_step2=15.0,
+                    bit_transition_flag=True),
+        trk=TrackingConf(**trk_kw),
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.chip_rate_cps)
+
+
+def gps_l5_chain(fs: float, prns=tuple(range(1, 33)), n_channels=4,
+                 **trk_overrides) -> SignalChainConf:
+    """GPS L5I chain: 10.23 Mcps, 1 ms epochs, NH10-spread 100-sps CNAV
+    symbols (GPS_L5_* blocks)."""
+    from gnss_sim_receiver_tpu import signals
+    sig = signals.GPS_L5I
+    trk_kw = dict(
+        fs=fs, code_rate_cps=sig.chip_rate_cps,
+        code_length_chips=sig.code_length_chips,
+        carrier_freq_hz=sig.carrier_freq_hz,
+        early_late_space_chips=0.5, pll_bw_hz=50.0,
+        enable_fll_pullin=False,    # NH chips flip every 1 ms epoch
+        fll_pullin_epochs=100)
+    trk_kw.update(trk_overrides)
+    return SignalChainConf(
+        signal="L5", system="GPS", prns=tuple(prns),
+        n_channels=n_channels, max_acq_channels=n_channels,
+        acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
+                    doppler_step=250.0, max_dwells=2,
+                    make_two_steps=True, doppler_step2=62.5),
+        trk=TrackingConf(**trk_kw),
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.chip_rate_cps)
+
+
+def galileo_e5a_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
+                      **trk_overrides) -> SignalChainConf:
+    """Galileo E5a-I chain: 10.23 Mcps, 1 ms epochs, CS20-spread 50-sps
+    F/NAV symbols (the GALILEO_E5A_* blocks)."""
+    from gnss_sim_receiver_tpu import signals
+    sig = signals.GALILEO_E5A_I
+    trk_kw = dict(
+        fs=fs, code_rate_cps=sig.chip_rate_cps,
+        code_length_chips=sig.code_length_chips,
+        carrier_freq_hz=sig.carrier_freq_hz,
+        early_late_space_chips=0.5, pll_bw_hz=50.0,
+        enable_fll_pullin=False,    # CS20 chips flip every 1 ms epoch
+        fll_pullin_epochs=100)
+    trk_kw.update(trk_overrides)
+    return SignalChainConf(
+        signal="5X", system="Galileo", prns=tuple(prns),
+        n_channels=n_channels, max_acq_channels=n_channels,
+        acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
+                    doppler_step=250.0, max_dwells=2,
+                    make_two_steps=True, doppler_step2=62.5),
+        trk=TrackingConf(**trk_kw),
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.chip_rate_cps)
 
 
 @dataclasses.dataclass
@@ -285,12 +369,16 @@ class Receiver:
             # --- observables + PVT -----------------------------------------
             if tick_bounds:
                 prn_map, sys_map = self._channel_maps(chains, n_total)
+                freq_map = np.concatenate(
+                    [np.full(rt.spec.n_channels,
+                             rt.spec.trk.carrier_freq_hz) for rt in chains])
                 for epoch in obs_eng.pull_ticks(min(tick_bounds)):
                     obs_epochs.append(epoch)
                     sol = solve_pvt(epoch, prn_map, ephemerides, conf.pvt,
                                     x0=None if last_fix is None
                                     else last_fix.rx_ecef_m,
-                                    systems=sys_map)
+                                    systems=sys_map,
+                                    carrier_freq_hz=freq_map)
                     if sol.valid:
                         if pvt_kf is not None:
                             pvt_kf.update(sol)

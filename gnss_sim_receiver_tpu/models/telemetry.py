@@ -16,6 +16,7 @@ import dataclasses
 
 import numpy as np
 
+from gnss_sim_receiver_tpu import constants
 from gnss_sim_receiver_tpu.nav import lnav
 from gnss_sim_receiver_tpu.nav.ephemeris import (GpsEphemeris,
                                                  fields_to_ephemeris)
@@ -258,3 +259,264 @@ class GalileoE1bTelemetryDecoder:
                         or st.ephemeris.toe != eph.toe):
                     st.ephemeris = eph
                     new_eph.append((c, eph))
+
+
+# ---------------------------------------------------------------------------
+# GPS CNAV telemetry (L2C CM / L5I) — the reference's
+# gps_l2c_telemetry_decoder_gs / gps_l5_telemetry_decoder_gs on top of
+# libswiftcnav (here nav.cnav)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _CnavChannelTlmState:
+    epoch_count: int = 0
+    symbol_base: int = -1        # global epoch index of decoder symbol 0
+    decoder: object = None       # nav.cnav.CnavDecoder
+    msgs: dict = dataclasses.field(default_factory=dict)
+    anchor_epoch: int | None = None
+    anchor_tow_ms: float = 0.0
+    ephemeris: object = None
+    # L5 NH10 synchronization
+    nh_buf: list = dataclasses.field(default_factory=list)
+    nh_off: int | None = None    # epoch index mod 10 of symbol starts
+    pend: list = dataclasses.field(default_factory=list)
+
+
+class GpsCnavTelemetryDecoder:
+    """Consumes TrackingEngine outputs for GPS L2C CM ("2S": one 50-sps
+    CNAV symbol per 20 ms epoch) or L5I ("L5": 1 ms epochs, 100-sps symbols
+    spread by NH10) channels and produces TOW stamps + CNAV ephemerides.
+
+    Same process() interface as TelemetryDecoder.  TOW semantics: each
+    message's TOW field is the GPS time of the NEXT message start
+    (IS-GPS-705 20.3.3.1 / nav.cnav), i.e. of symbol start_symbol + 600.
+    """
+
+    EPOCHS_PER_SYMBOL = {"2S": 1, "L5": 10}
+    EPOCH_MS = {"2S": 20.0, "L5": 1.0}
+
+    def __init__(self, prns, signal: str = "2S"):
+        from gnss_sim_receiver_tpu.nav.cnav import CnavDecoder
+        self._mk = CnavDecoder
+        self.signal = signal
+        self.prns = [int(p) for p in prns]
+        self.ch = [_CnavChannelTlmState(decoder=CnavDecoder())
+                   for _ in self.prns]
+        self._nh = 1.0 - 2.0 * np.asarray(constants.GPS_L5I_NH_CODE,
+                                          np.float64)
+
+    def reset_channel(self, c: int, prn: int | None = None,
+                      epoch_base: int | None = None) -> None:
+        st = _CnavChannelTlmState(decoder=self._mk())
+        if epoch_base is not None:
+            st.epoch_count = epoch_base
+        self.ch[c] = st
+        if prn is not None:
+            self.prns[c] = int(prn)
+
+    # -- L5 NH sync + symbol formation --------------------------------------
+    def _l5_symbols(self, st) -> list:
+        """Consume st.pend epochs -> soft 100-sps symbols once NH-locked."""
+        if st.nh_off is None:
+            st.nh_buf.extend(st.pend)
+            st.pend = []
+            if len(st.nh_buf) < 200:      # 20 symbols to vote
+                return []
+            s = np.sign(np.asarray(st.nh_buf, np.float64))
+            n = (len(s) // 10) * 10
+            best, best_score, second = 0, -1.0, -1.0
+            for off in range(10):
+                w = s[off:off + n - 10].reshape(-1, 10) * self._nh
+                score = float(np.abs(w.sum(axis=1)).sum())
+                if score > best_score:
+                    best, best_score, second = off, score, best_score
+                elif score > second:
+                    second = score
+            if best_score < 1.2 * max(second, 1e-9):
+                return []                 # ambiguous, wait for more
+            st.nh_off = best
+            # symbol_base advances: symbol 0 starts at buffered epoch `best`
+            st.symbol_base += best
+            st.pend = list(st.nh_buf[best:])
+            st.nh_buf = []
+        out = []
+        while len(st.pend) >= 10:
+            grp = np.asarray(st.pend[:10], np.float64) * self._nh
+            out.append(float(grp.sum()))
+            del st.pend[:10]
+        return out
+
+    def process(self, track_outs: dict) -> TelemetryOutputs:
+        from gnss_sim_receiver_tpu.nav.cnav import messages_to_ephemeris
+        prompts = track_outs["prompt"]
+        valid = track_outs["valid"]
+        t_len, n_ch = prompts.shape
+        tow = np.full((t_len, n_ch), np.nan)
+        new_eph = []
+        epb = self.EPOCHS_PER_SYMBOL[self.signal]
+        epoch_ms = self.EPOCH_MS[self.signal]
+        for c in range(n_ch):
+            st = self.ch[c]
+            base = st.epoch_count
+            for e in range(t_len):
+                if not valid[e, c]:
+                    st.epoch_count += 1
+                    continue
+                if st.symbol_base < 0:
+                    st.symbol_base = st.epoch_count
+                st.pend.append(float(prompts[e, c].real))
+                st.epoch_count += 1
+            if self.signal == "L5":
+                soft = self._l5_symbols(st)
+            else:
+                soft, st.pend = st.pend, []
+            for ev in st.decoder.push_symbols(soft):
+                if not ev.crc_ok or ev.msg_type not in (10, 11, 30):
+                    continue
+                st.msgs[ev.msg_type] = ev.fields
+                # TOW anchor at the next message boundary
+                st.anchor_epoch = (st.symbol_base
+                                   + (ev.start_symbol + 600) * epb)
+                st.anchor_tow_ms = ev.tow_s * 1000.0
+                self._try_ephemeris(st, c, new_eph, messages_to_ephemeris)
+            if st.anchor_epoch is not None:
+                for e in range(t_len):
+                    idx = base + e
+                    if valid[e, c]:
+                        tow[e, c] = (st.anchor_tow_ms
+                                     + (idx + 1 - st.anchor_epoch)
+                                     * epoch_ms)
+        return TelemetryOutputs(tow_at_epoch_ms=tow,
+                                tow_valid=~np.isnan(tow),
+                                new_ephemerides=new_eph)
+
+    def _try_ephemeris(self, st, c, new_eph, to_eph) -> None:
+        if not all(mt in st.msgs for mt in (10, 11, 30)):
+            return
+        if st.msgs[10]["toe"] != st.msgs[11]["toe"]:
+            return   # CNAV consistency gate (gps_cnav_navigation_message)
+        eph = to_eph(self.prns[c], st.msgs)
+        if (st.ephemeris is None or st.ephemeris.toe != eph.toe):
+            st.ephemeris = eph
+            new_eph.append((c, eph))
+
+
+# ---------------------------------------------------------------------------
+# Galileo E5a F/NAV telemetry (the reference's galileo_telemetry_decoder_gs
+# with frame_type=2, host-side)
+# ---------------------------------------------------------------------------
+
+class GalileoE5aTelemetryDecoder:
+    """Consumes TrackingEngine outputs for E5a-I channels (1 ms epochs;
+    50-sps F/NAV symbols spread by the per-PRN 20-chip secondary code),
+    synchronizes the secondary code, forms soft symbols, decodes F/NAV
+    pages (nav.fnav) and produces TOW stamps + Galileo ephemerides.
+
+    TOW semantics: every F/NAV word's TOW field is the GST of its own
+    page's first symbol."""
+
+    def __init__(self, prns):
+        from gnss_sim_receiver_tpu import signals
+        from gnss_sim_receiver_tpu.nav.fnav import FnavPageDecoder
+        self._mk = FnavPageDecoder
+        self.prns = [int(p) for p in prns]
+        self.ch = [_CnavChannelTlmState(decoder=FnavPageDecoder())
+                   for _ in self.prns]
+        self._cs = {p: signals.e5a_secondary_code(p, "I").astype(np.float64)
+                    for p in set(self.prns)}
+
+    def reset_channel(self, c: int, prn: int | None = None,
+                      epoch_base: int | None = None) -> None:
+        from gnss_sim_receiver_tpu import signals
+        st = _CnavChannelTlmState(decoder=self._mk())
+        if epoch_base is not None:
+            st.epoch_count = epoch_base
+        self.ch[c] = st
+        if prn is not None:
+            self.prns[c] = int(prn)
+            self._cs[int(prn)] = signals.e5a_secondary_code(
+                int(prn), "I").astype(np.float64)
+
+    def _symbols(self, st, cs) -> list:
+        """st.pend epochs -> soft 50-sps symbols once secondary-locked."""
+        n_cs = len(cs)
+        if st.nh_off is None:
+            st.nh_buf.extend(st.pend)
+            st.pend = []
+            if len(st.nh_buf) < 10 * n_cs:
+                return []
+            s = np.sign(np.asarray(st.nh_buf, np.float64))
+            n = (len(s) // n_cs) * n_cs
+            best, best_score, second = 0, -1.0, -1.0
+            for off in range(n_cs):
+                w = s[off:off + n - n_cs].reshape(-1, n_cs) * cs
+                score = float(np.abs(w.sum(axis=1)).sum())
+                if score > best_score:
+                    best, best_score, second = off, score, best_score
+                elif score > second:
+                    second = score
+            if best_score < 1.2 * max(second, 1e-9):
+                return []
+            st.nh_off = best
+            st.symbol_base += best
+            st.pend = list(st.nh_buf[best:])
+            st.nh_buf = []
+        out = []
+        while len(st.pend) >= n_cs:
+            grp = np.asarray(st.pend[:n_cs], np.float64) * cs
+            out.append(float(grp.sum()))
+            del st.pend[:n_cs]
+        return out
+
+    def process(self, track_outs: dict) -> TelemetryOutputs:
+        from gnss_sim_receiver_tpu.nav.fnav import fnav_words_to_ephemeris
+        prompts = track_outs["prompt"]
+        valid = track_outs["valid"]
+        t_len, n_ch = prompts.shape
+        tow = np.full((t_len, n_ch), np.nan)
+        new_eph = []
+        for c in range(n_ch):
+            st = self.ch[c]
+            cs = self._cs[self.prns[c]] if self.prns[c] in self._cs \
+                else np.ones(20)
+            base = st.epoch_count
+            for e in range(t_len):
+                if not valid[e, c]:
+                    st.epoch_count += 1
+                    continue
+                if st.symbol_base < 0:
+                    st.symbol_base = st.epoch_count
+                st.pend.append(float(prompts[e, c].real))
+                st.epoch_count += 1
+            for ev in st.decoder.push_symbols(self._symbols(st, cs)):
+                if not ev.crc_ok or ev.word_type not in (1, 2, 3, 4):
+                    continue
+                st.msgs[ev.word_type] = ev.fields
+                # TOW anchor: page start symbol transmitted at the word's
+                # TOW; symbols are 20 epochs each
+                st.anchor_epoch = (st.symbol_base
+                                   + ev.page_start_symbol * 20)
+                st.anchor_tow_ms = ev.fields["tow"] * 1000.0
+                self._try_ephemeris(st, c, new_eph,
+                                    fnav_words_to_ephemeris)
+            if st.anchor_epoch is not None:
+                for e in range(t_len):
+                    idx = base + e
+                    if valid[e, c]:
+                        tow[e, c] = (st.anchor_tow_ms
+                                     + (idx + 1 - st.anchor_epoch) * 1.0)
+        return TelemetryOutputs(tow_at_epoch_ms=tow,
+                                tow_valid=~np.isnan(tow),
+                                new_ephemerides=new_eph)
+
+    def _try_ephemeris(self, st, c, new_eph, to_eph) -> None:
+        if not all(w in st.msgs for w in (1, 2, 3)):
+            return
+        iods = {int(st.msgs[w]["iod_nav"]) for w in (1, 2, 3)}
+        if len(iods) != 1:
+            return
+        eph = to_eph(self.prns[c], st.msgs)
+        if (st.ephemeris is None or st.ephemeris.iod_nav != eph.iod_nav
+                or st.ephemeris.toe != eph.toe):
+            st.ephemeris = eph
+            new_eph.append((c, eph))

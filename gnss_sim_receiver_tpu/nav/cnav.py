@@ -200,12 +200,15 @@ def messages_to_ephemeris(prn: int, msgs: dict[int, dict]):
 # ---------------------------------------------------------------------------
 
 def symbols_for_ephemeris(eph, t0_gps_s: float, n_repeats: int = 3,
-                          extra_mt30: dict | None = None) -> np.ndarray:
+                          extra_mt30: dict | None = None,
+                          bps: float = 25.0) -> np.ndarray:
     """Continuous CNAV symbol stream {0,1} cycling MT 10,11,30, starting at
-    GPS time t0 (must be a multiple of 12 s, the message grid at 25 bps).
-    Each message's TOW field stamps the NEXT message start."""
-    if t0_gps_s % 12.0:
-        raise ValueError("t0_gps_s must be a multiple of 12 s")
+    GPS time t0 (must be on the 300/bps-second message grid: 12 s for L2C
+    at 25 bps, 6 s for L5 at 50 bps).  Each message's TOW field stamps the
+    NEXT message start."""
+    msg_s = MSG_BITS / bps
+    if t0_gps_s % msg_s:
+        raise ValueError(f"t0_gps_s must be a multiple of {msg_s} s")
     msgs = cnav_ephemeris_to_messages(eph)
     if extra_mt30:
         msgs[30].update(extra_mt30)
@@ -213,11 +216,21 @@ def symbols_for_ephemeris(eph, t0_gps_s: float, n_repeats: int = 3,
     t = t0_gps_s
     for _ in range(n_repeats):
         for mt in (10, 11, 30):
-            t += 12.0
+            t += msg_s
             bits.append(pack_message(eph.prn, mt, t, msgs[mt]))
     stream = np.concatenate(bits)
     from gnss_sim_receiver_tpu import native
     return native.conv27_encode(stream).astype(np.int64)
+
+
+def l5i_epoch_signs(symbols01: np.ndarray) -> np.ndarray:
+    """CNAV symbols {0,1} at 100 sps -> +-1 per 1 ms L5 code epoch: each
+    10 ms symbol is spread by the 10-chip Neuman-Hofman code (IS-GPS-705
+    3.3.3.1) — the per-epoch modulation the simulator applies."""
+    from gnss_sim_receiver_tpu import constants
+    nh = 1 - 2 * np.asarray(constants.GPS_L5I_NH_CODE, np.int64)
+    sym = 2 * np.asarray(symbols01, np.int64) - 1
+    return (np.repeat(sym, 10) * np.tile(nh, len(sym))).astype(np.int8)
 
 
 @dataclasses.dataclass
@@ -242,7 +255,8 @@ class CnavDecoder:
     #: Viterbi window, the unreliable un-terminated tail, and the warm-up
     #: prefix kept across consumptions (the encoder state at a window start
     #: mid-stream is unknown, so the first bits of a decode are unreliable)
-    WINDOW_BITS = 450
+    WINDOW_BITS = 400   # >= HEAD + MSG + TAIL; smaller = less stream
+    #                     lookahead needed before a tail message decodes
     TAIL_BITS = 40
     HEAD_BITS = 12
 

@@ -53,6 +53,18 @@ GPS_L1CA = SignalDef("GPS", "1C", constants.GPS_L1_FREQ_HZ, 1.023e6, 1023,
                      1, 50.0)
 GALILEO_E1B = SignalDef("Galileo", "1B", constants.GALILEO_E1_FREQ_HZ,
                         1.023e6, 4092, 2, 250.0)
+# L2C CM: 20 ms code period, one 50-sps CNAV symbol per period
+GPS_L2C_CM = SignalDef("GPS", "2S", constants.GPS_L2_FREQ_HZ,
+                       constants.GPS_L2C_M_CODE_RATE_CPS, 10230, 1, 50.0)
+# L5I: 1 ms code epochs; 100-sps CNAV symbols spread by NH10 (the sim's
+# nav_bits for "L5" are per-EPOCH signs — see nav.cnav.l5i_epoch_signs)
+GPS_L5I = SignalDef("GPS", "L5", constants.GPS_L5_FREQ_HZ,
+                    constants.GPS_L5_CODE_RATE_CPS, 10230, 1, 1000.0)
+# Galileo E5a-I: 1 ms code epochs; 50-sps F/NAV symbols spread by the
+# 20-chip per-PRN secondary code (nav_bits are per-EPOCH signs)
+GALILEO_E5A_I = SignalDef("Galileo", "5X", constants.GALILEO_E5A_FREQ_HZ,
+                          constants.GALILEO_E5A_CODE_RATE_CPS, 10230, 1,
+                          1000.0)
 
 
 @functools.lru_cache(maxsize=128)
@@ -63,6 +75,27 @@ def e1_test_code(prn: int, component: str = "B") -> np.ndarray:
     seed = (prn * 7919 + (0 if component == "B" else 104729)) & 0xFFFFFFFF
     rng = np.random.default_rng(seed)
     return (rng.integers(0, 2, 4092) * 2.0 - 1.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=128)
+def e5a_test_code(prn: int, component: str = "I") -> np.ndarray:
+    """Deterministic placeholder E5a primary code (+-1, 10230 chips).
+    The ICD generates E5a codes from per-PRN LFSR start values; real
+    tables load via load_e1_code_table-style assets.  Shared by simulator
+    and receiver so the whole 5X pipeline runs end-to-end in tests."""
+    seed = (prn * 15487 + (0 if component == "I" else 337)) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, 10230) * 2.0 - 1.0).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def e5a_secondary_code(prn: int, component: str = "I") -> np.ndarray:
+    """E5a-I 20-chip per-PRN secondary code (+-1).  Placeholder with the
+    ICD's length/balance properties (real CS20 tables are data assets);
+    deterministic and shared by simulator and receiver."""
+    seed = (prn * 30011 + (0 if component == "I" else 77)) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, 20) * 2.0 - 1.0).astype(np.float32)
 
 
 def load_e1_code_table(path, prn: int, component: str = "B") -> np.ndarray:
@@ -95,4 +128,12 @@ def subchip_table(sig: SignalDef, prn: int) -> np.ndarray:
         return prn_codes.gps_l1_ca_code(prn)
     if sig.signal == "1B":
         return boc11_expand(e1_test_code(prn, "B"))
+    if sig.signal == "2S":
+        from gnss_sim_receiver_tpu.ops import prn_codes_multi
+        return prn_codes_multi.gps_l2c_m_code(prn)
+    if sig.signal == "L5":
+        from gnss_sim_receiver_tpu.ops import prn_codes_multi
+        return prn_codes_multi.gps_l5_code(prn)
+    if sig.signal == "5X":
+        return e5a_test_code(prn, "I")
     raise NotImplementedError(sig.signal)

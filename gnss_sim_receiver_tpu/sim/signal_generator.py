@@ -66,6 +66,23 @@ def _sig_params(sat: SatelliteSignalParams):
                                     ).astype(np.int8)
         # E1B: 250 sps, one 4092-chip code period per symbol (BOC sub-chips)
         return sub, sigdefs.GALILEO_E1B.sc_rate, len(sub)
+    if sat.signal == "2S":
+        from gnss_sim_receiver_tpu.ops import prn_codes_multi as pcm
+        # L2C CM: one 50-sps CNAV symbol per 20 ms code period
+        return (pcm.gps_l2c_m_code(sat.prn).astype(np.int8),
+                constants.GPS_L2C_M_CODE_RATE_CPS, 10230)
+    if sat.signal == "L5":
+        from gnss_sim_receiver_tpu.ops import prn_codes_multi as pcm
+        # L5I: nav_bits are per-1 ms-EPOCH signs (symbol x NH10 pre-spread,
+        # nav.cnav.l5i_epoch_signs)
+        return (pcm.gps_l5_code(sat.prn).astype(np.int8),
+                constants.GPS_L5_CODE_RATE_CPS, 10230)
+    if sat.signal == "5X":
+        from gnss_sim_receiver_tpu import signals as sigdefs
+        # E5a-I: nav_bits are per-1 ms-EPOCH signs (F/NAV symbol x CS20
+        # secondary pre-spread, nav.fnav e5a_epoch_signs)
+        return (sigdefs.e5a_test_code(sat.prn, "I").astype(np.int8),
+                constants.GALILEO_E5A_CODE_RATE_CPS, 10230)
     raise NotImplementedError(
         f"simulator signal {sat.system}/{sat.signal} not yet supported")
 
