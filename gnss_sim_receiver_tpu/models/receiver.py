@@ -48,7 +48,20 @@ class SignalChainConf:
     code_provider: object = None       # prn -> +-1 sub-chip table
     sc_rate: float | None = None       # sub-chip rate for acquisition
 
+    freq_slot: int = 0                 # GLONASS FDMA slot k (signal "1G")
+    day_base_s: float = 0.0            # GLONASS day base for tk anchoring
+
     def telemetry_decoder(self, prns):
+        if self.signal == "B1":
+            from gnss_sim_receiver_tpu.models.telemetry import \
+                BeidouB1iTelemetryDecoder
+            return BeidouB1iTelemetryDecoder(prns)
+        if self.signal == "1G":
+            from gnss_sim_receiver_tpu.models.telemetry import \
+                GlonassTelemetryDecoder
+            return GlonassTelemetryDecoder(
+                prns, freq_slots={p: self.freq_slot for p in self.prns},
+                day_base_s=self.day_base_s)
         if self.signal == "5X":
             from gnss_sim_receiver_tpu.models.telemetry import \
                 GalileoE5aTelemetryDecoder
@@ -160,6 +173,39 @@ def galileo_e5a_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         trk=TrackingConf(**trk_kw),
         code_provider=lambda p: signals.subchip_table(sig, p),
         sc_rate=sig.chip_rate_cps)
+
+
+def glonass_l1_chain(fs: float, prns, freq_slot: int = 0,
+                     n_channels: int | None = None, day_base_s: float = 0.0,
+                     **trk_overrides) -> SignalChainConf:
+    """GLONASS L1 C/A chain for ONE frequency slot (FDMA: satellites on
+    slot k acquire around doppler_center = k*562.5 kHz and track on the
+    offset carrier; build one chain per occupied slot — the reference's
+    per-PRN d_doppler_bias, pcps_acquisition.cc:211-230).  FLL pull-in
+    stays ON (10 ms symbols corrupt only 1 in 10 FLL pairs) and the
+    rectified lock test handles the zero-mean meander data."""
+    from gnss_sim_receiver_tpu import constants, signals
+    sig = signals.GLONASS_L1_CA
+    df = constants.GLONASS_L1_DFREQ_HZ
+    prns = tuple(prns)
+    trk_kw = dict(
+        fs=fs, code_rate_cps=sig.chip_rate_cps,
+        code_length_chips=sig.code_length_chips,
+        carrier_freq_hz=sig.carrier_freq_hz + freq_slot * df,
+        early_late_space_chips=0.5, lock_rectify=True,
+        enable_fll_pullin=True, fll_pullin_epochs=150)
+    trk_kw.update(trk_overrides)
+    return SignalChainConf(
+        signal="1G", system="GLONASS", prns=prns,
+        n_channels=n_channels or len(prns),
+        max_acq_channels=n_channels or len(prns),
+        acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
+                    doppler_step=250.0, doppler_center=freq_slot * df,
+                    max_dwells=2, make_two_steps=True, doppler_step2=62.5),
+        trk=TrackingConf(**trk_kw),
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.chip_rate_cps,
+        freq_slot=freq_slot, day_base_s=day_base_s)
 
 
 @dataclasses.dataclass
@@ -421,3 +467,29 @@ class Receiver:
                 prn_map[rt.offset + c] = rt.mgr.channels[c].prn
                 sys_map[rt.offset + c] = rt.spec.system
         return prn_map, sys_map
+
+
+def beidou_b1i_chain(fs: float, prns=tuple(range(6, 31)), n_channels=4,
+                     **trk_overrides) -> SignalChainConf:
+    """BeiDou B1I (MEO/IGSO, D1) chain: 2.046 Mcps, 1 ms epochs,
+    NH20-spread 50-bps D1 bits (the BEIDOU_B1I_* blocks)."""
+    from gnss_sim_receiver_tpu import signals
+    sig = signals.BEIDOU_B1I
+    trk_kw = dict(
+        fs=fs, code_rate_cps=sig.chip_rate_cps,
+        code_length_chips=sig.code_length_chips,
+        carrier_freq_hz=sig.carrier_freq_hz,
+        early_late_space_chips=0.5, pll_bw_hz=40.0,
+        enable_fll_pullin=False,    # NH20 chips flip every 1 ms epoch
+        fll_pullin_epochs=100)
+    trk_kw.update(trk_overrides)
+    return SignalChainConf(
+        signal="B1", system="BeiDou", prns=tuple(prns),
+        n_channels=n_channels, max_acq_channels=n_channels,
+        acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
+                    doppler_step=250.0, max_dwells=2,
+                    make_two_steps=True, doppler_step2=62.5,
+                    bit_transition_flag=True),
+        trk=TrackingConf(**trk_kw),
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.chip_rate_cps)

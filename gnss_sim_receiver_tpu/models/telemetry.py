@@ -282,6 +282,45 @@ class _CnavChannelTlmState:
     pend: list = dataclasses.field(default_factory=list)
 
 
+def _fold_secondary(st: _CnavChannelTlmState, pattern: np.ndarray,
+                    margin: float = 1.2, min_symbols: int = 20) -> list:
+    """Shared secondary-code / symbol-boundary synchronizer: consume
+    st.pend per-epoch prompts and emit soft symbols spanning len(pattern)
+    epochs each, wiped by `pattern` (+-1; all-ones for plain boundary
+    sync).  The phase offset is found by group-coherence voting — the
+    winning cyclic offset maximizes sum |group-coherent sum| and must beat
+    the runner-up by `margin` — and st.symbol_base shifts accordingly."""
+    n_cs = len(pattern)
+    if st.nh_off is None:
+        st.nh_buf.extend(st.pend)
+        st.pend = []
+        if len(st.nh_buf) < min_symbols * n_cs:
+            return []
+        s = np.sign(np.asarray(st.nh_buf, np.float64))
+        n = (len(s) // n_cs) * n_cs
+        best, best_score, second = 0, -1.0, -1.0
+        for off in range(n_cs):
+            w = s[off:off + n - n_cs].reshape(-1, n_cs) * pattern
+            score = float(np.abs(w.sum(axis=1)).sum())
+            if score > best_score:
+                best, best_score, second = off, score, best_score
+            elif score > second:
+                second = score
+        if best_score < margin * max(second, 1e-9):
+            return []                 # ambiguous, wait for more
+        st.nh_off = best
+        # symbol 0 starts at buffered epoch `best`
+        st.symbol_base += best
+        st.pend = list(st.nh_buf[best:])
+        st.nh_buf = []
+    out = []
+    while len(st.pend) >= n_cs:
+        grp = np.asarray(st.pend[:n_cs], np.float64) * pattern
+        out.append(float(grp.sum()))
+        del st.pend[:n_cs]
+    return out
+
+
 class GpsCnavTelemetryDecoder:
     """Consumes TrackingEngine outputs for GPS L2C CM ("2S": one 50-sps
     CNAV symbol per 20 ms epoch) or L5I ("L5": 1 ms epochs, 100-sps symbols
@@ -314,38 +353,6 @@ class GpsCnavTelemetryDecoder:
         if prn is not None:
             self.prns[c] = int(prn)
 
-    # -- L5 NH sync + symbol formation --------------------------------------
-    def _l5_symbols(self, st) -> list:
-        """Consume st.pend epochs -> soft 100-sps symbols once NH-locked."""
-        if st.nh_off is None:
-            st.nh_buf.extend(st.pend)
-            st.pend = []
-            if len(st.nh_buf) < 200:      # 20 symbols to vote
-                return []
-            s = np.sign(np.asarray(st.nh_buf, np.float64))
-            n = (len(s) // 10) * 10
-            best, best_score, second = 0, -1.0, -1.0
-            for off in range(10):
-                w = s[off:off + n - 10].reshape(-1, 10) * self._nh
-                score = float(np.abs(w.sum(axis=1)).sum())
-                if score > best_score:
-                    best, best_score, second = off, score, best_score
-                elif score > second:
-                    second = score
-            if best_score < 1.2 * max(second, 1e-9):
-                return []                 # ambiguous, wait for more
-            st.nh_off = best
-            # symbol_base advances: symbol 0 starts at buffered epoch `best`
-            st.symbol_base += best
-            st.pend = list(st.nh_buf[best:])
-            st.nh_buf = []
-        out = []
-        while len(st.pend) >= 10:
-            grp = np.asarray(st.pend[:10], np.float64) * self._nh
-            out.append(float(grp.sum()))
-            del st.pend[:10]
-        return out
-
     def process(self, track_outs: dict) -> TelemetryOutputs:
         from gnss_sim_receiver_tpu.nav.cnav import messages_to_ephemeris
         prompts = track_outs["prompt"]
@@ -367,7 +374,7 @@ class GpsCnavTelemetryDecoder:
                 st.pend.append(float(prompts[e, c].real))
                 st.epoch_count += 1
             if self.signal == "L5":
-                soft = self._l5_symbols(st)
+                soft = _fold_secondary(st, self._nh)
             else:
                 soft, st.pend = st.pend, []
             for ev in st.decoder.push_symbols(soft):
@@ -439,34 +446,7 @@ class GalileoE5aTelemetryDecoder:
 
     def _symbols(self, st, cs) -> list:
         """st.pend epochs -> soft 50-sps symbols once secondary-locked."""
-        n_cs = len(cs)
-        if st.nh_off is None:
-            st.nh_buf.extend(st.pend)
-            st.pend = []
-            if len(st.nh_buf) < 10 * n_cs:
-                return []
-            s = np.sign(np.asarray(st.nh_buf, np.float64))
-            n = (len(s) // n_cs) * n_cs
-            best, best_score, second = 0, -1.0, -1.0
-            for off in range(n_cs):
-                w = s[off:off + n - n_cs].reshape(-1, n_cs) * cs
-                score = float(np.abs(w.sum(axis=1)).sum())
-                if score > best_score:
-                    best, best_score, second = off, score, best_score
-                elif score > second:
-                    second = score
-            if best_score < 1.2 * max(second, 1e-9):
-                return []
-            st.nh_off = best
-            st.symbol_base += best
-            st.pend = list(st.nh_buf[best:])
-            st.nh_buf = []
-        out = []
-        while len(st.pend) >= n_cs:
-            grp = np.asarray(st.pend[:n_cs], np.float64) * cs
-            out.append(float(grp.sum()))
-            del st.pend[:n_cs]
-        return out
+        return _fold_secondary(st, cs, margin=1.2, min_symbols=10)
 
     def process(self, track_outs: dict) -> TelemetryOutputs:
         from gnss_sim_receiver_tpu.nav.fnav import fnav_words_to_ephemeris
@@ -518,5 +498,181 @@ class GalileoE5aTelemetryDecoder:
         eph = to_eph(self.prns[c], st.msgs)
         if (st.ephemeris is None or st.ephemeris.iod_nav != eph.iod_nav
                 or st.ephemeris.toe != eph.toe):
+            st.ephemeris = eph
+            new_eph.append((c, eph))
+
+
+# ---------------------------------------------------------------------------
+# GLONASS L1/L2 C/A GNAV telemetry (the reference's
+# glonass_l1_ca_telemetry_decoder_gs, host-side)
+# ---------------------------------------------------------------------------
+
+class GlonassTelemetryDecoder:
+    """Consumes TrackingEngine outputs for GLONASS C/A channels (1 ms code
+    epochs; 100-sps GNAV meander-half symbols spanning 10 epochs each),
+    synchronizes the 10-epoch symbol boundary by group-coherence voting,
+    decodes GNAV strings (nav.gnav) and produces TOW stamps + ECEF-state
+    ephemerides.
+
+    TOW semantics: string 1's tk field is the (compressed) frame start
+    time-of-day; `day_base_s` restores full seconds (the reference derives
+    it from the receiver date)."""
+
+    def __init__(self, prns, freq_slots=None, day_base_s: float = 0.0):
+        from gnss_sim_receiver_tpu.nav.gnav import GnavStringDecoder
+        self._mk = GnavStringDecoder
+        self.prns = [int(p) for p in prns]
+        self.freq_slots = dict(freq_slots or {})
+        self.day_base_s = float(day_base_s)
+        self.ch = [_CnavChannelTlmState(decoder=GnavStringDecoder())
+                   for _ in self.prns]
+        self._ones = np.ones(10, np.float64)
+
+    def reset_channel(self, c: int, prn: int | None = None,
+                      epoch_base: int | None = None) -> None:
+        st = _CnavChannelTlmState(decoder=self._mk())
+        if epoch_base is not None:
+            st.epoch_count = epoch_base
+        self.ch[c] = st
+        if prn is not None:
+            self.prns[c] = int(prn)
+
+    def _symbols(self, st) -> list:
+        """st.pend epochs -> soft 100-sps symbols once boundary-locked
+        (all-ones pattern: the meander guarantees a sign flip at every
+        mid-bit symbol boundary, so group-coherence voting still works)."""
+        return _fold_secondary(st, self._ones, margin=1.1, min_symbols=40)
+
+    def process(self, track_outs: dict) -> TelemetryOutputs:
+        from gnss_sim_receiver_tpu.nav.gnav import (
+            STRING_SECONDS, strings_to_glonass_ephemeris)
+        prompts = track_outs["prompt"]
+        valid = track_outs["valid"]
+        t_len, n_ch = prompts.shape
+        tow = np.full((t_len, n_ch), np.nan)
+        new_eph = []
+        for c in range(n_ch):
+            st = self.ch[c]
+            base = st.epoch_count
+            for e in range(t_len):
+                if not valid[e, c]:
+                    st.epoch_count += 1
+                    continue
+                if st.symbol_base < 0:
+                    st.symbol_base = st.epoch_count
+                st.pend.append(float(prompts[e, c].real))
+                st.epoch_count += 1
+            for ev in st.decoder.push_symbols(self._symbols(st)):
+                if not ev.kx_ok or ev.string_id not in (1, 2, 3, 4, 5):
+                    continue
+                st.msgs[ev.string_id] = ev.fields
+                if ev.string_id == 1:
+                    # string 1 starts the frame at time-of-day tk
+                    st.anchor_epoch = (st.symbol_base
+                                       + ev.string_start_symbol * 10)
+                    st.anchor_tow_ms = (self.day_base_s
+                                        + ev.fields["tk_s"]) * 1000.0
+                self._try_ephemeris(st, c, new_eph,
+                                    strings_to_glonass_ephemeris)
+            if st.anchor_epoch is not None:
+                for e in range(t_len):
+                    idx = base + e
+                    if valid[e, c]:
+                        tow[e, c] = (st.anchor_tow_ms
+                                     + (idx + 1 - st.anchor_epoch) * 1.0)
+        return TelemetryOutputs(tow_at_epoch_ms=tow,
+                                tow_valid=~np.isnan(tow),
+                                new_ephemerides=new_eph)
+
+    def _try_ephemeris(self, st, c, new_eph, to_eph) -> None:
+        if not all(s in st.msgs for s in (1, 2, 3, 4)):
+            return
+        prn = self.prns[c]
+        eph = to_eph(prn, st.msgs,
+                     day_base_s=np.floor(self.day_base_s / 86400.0) * 86400.0,
+                     freq_slot=self.freq_slots.get(prn, 0))
+        if (st.ephemeris is None or st.ephemeris.tb_s != eph.tb_s):
+            st.ephemeris = eph
+            new_eph.append((c, eph))
+
+
+# ---------------------------------------------------------------------------
+# BeiDou B1I D1 telemetry (the reference's beidou_b1i_telemetry_decoder_gs,
+# host-side; MEO/IGSO D1 — GEO D2 is a gap item)
+# ---------------------------------------------------------------------------
+
+class BeidouB1iTelemetryDecoder:
+    """Consumes TrackingEngine outputs for B1I channels (1 ms code epochs;
+    50-bps D1 bits spread by the NH20 secondary code), synchronizes NH20,
+    folds 20-epoch bits, decodes D1 subframes (nav.dnav) and produces TOW
+    stamps + BDS Kepler ephemerides.
+
+    TOW semantics: every subframe's SOW field is the BDT of its own first
+    bit (BDS ICD 5.2.4.2)."""
+
+    def __init__(self, prns):
+        from gnss_sim_receiver_tpu.nav.dnav import DnavSubframeDecoder
+        self._mk = DnavSubframeDecoder
+        self.prns = [int(p) for p in prns]
+        self.ch = [_CnavChannelTlmState(decoder=DnavSubframeDecoder())
+                   for _ in self.prns]
+        from gnss_sim_receiver_tpu.ops.prn_codes_multi import BEIDOU_NH20
+        self._nh = 1.0 - 2.0 * np.asarray(BEIDOU_NH20, np.float64)
+
+    def reset_channel(self, c: int, prn: int | None = None,
+                      epoch_base: int | None = None) -> None:
+        st = _CnavChannelTlmState(decoder=self._mk())
+        if epoch_base is not None:
+            st.epoch_count = epoch_base
+        self.ch[c] = st
+        if prn is not None:
+            self.prns[c] = int(prn)
+
+    def process(self, track_outs: dict) -> TelemetryOutputs:
+        from gnss_sim_receiver_tpu.nav.dnav import \
+            subframes_to_beidou_ephemeris
+        prompts = track_outs["prompt"]
+        valid = track_outs["valid"]
+        t_len, n_ch = prompts.shape
+        tow = np.full((t_len, n_ch), np.nan)
+        new_eph = []
+        for c in range(n_ch):
+            st = self.ch[c]
+            base = st.epoch_count
+            for e in range(t_len):
+                if not valid[e, c]:
+                    st.epoch_count += 1
+                    continue
+                if st.symbol_base < 0:
+                    st.symbol_base = st.epoch_count
+                st.pend.append(float(prompts[e, c].real))
+                st.epoch_count += 1
+            soft_bits = _fold_secondary(st, self._nh, margin=1.2,
+                                        min_symbols=10)
+            for ev in st.decoder.push_bits(soft_bits):
+                if not ev.ok or ev.fra_id not in (1, 2, 3):
+                    continue
+                st.msgs[ev.fra_id] = ev.fields
+                # SOW stamps the subframe's own first bit (20 epochs/bit)
+                st.anchor_epoch = (st.symbol_base
+                                   + ev.subframe_start_bit * 20)
+                st.anchor_tow_ms = ev.fields["sow"] * 1000.0
+                self._try_ephemeris(st, c, new_eph,
+                                    subframes_to_beidou_ephemeris)
+            if st.anchor_epoch is not None:
+                for e in range(t_len):
+                    idx = base + e
+                    if valid[e, c]:
+                        tow[e, c] = (st.anchor_tow_ms
+                                     + (idx + 1 - st.anchor_epoch) * 1.0)
+        return TelemetryOutputs(tow_at_epoch_ms=tow,
+                                tow_valid=~np.isnan(tow),
+                                new_ephemerides=new_eph)
+
+    def _try_ephemeris(self, st, c, new_eph, to_eph) -> None:
+        if not all(s in st.msgs for s in (1, 2, 3)):
+            return
+        eph = to_eph(self.prns[c], st.msgs)
+        if (st.ephemeris is None or st.ephemeris.toe != eph.toe):
             st.ephemeris = eph
             new_eph.append((c, eph))

@@ -57,6 +57,10 @@ class TrackingConf:
     # dll_nc_vemlp_normalized discriminator)
     very_early_late_space_chips: float = 0.0
     cn0_window_epochs: int = 20
+    # rectified (|I|,|Q|) carrier-lock test for meander/bi-binary signals
+    # (GLONASS GNAV) whose data is zero-mean over every window — the
+    # coherent NBD/NBP test reads -1 there even in perfect lock
+    lock_rectify: bool = False
     cn0_min_db_hz: float = 25.0
     carrier_lock_threshold: float = 0.75
     max_lock_fail: int = 50
@@ -522,7 +526,9 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
     cn0_new = cn0_ops.cn0_m2m4_estimate(acc, t_int)
     # exponentially smoothed lock test (reference Exponential_Smoother on
     # d_carrier_lock_test, dll_pll_veml_tracking.cc:549-553)
-    lock_new = 0.75 * state.carrier_lock + 0.25 * cn0_ops.carrier_lock_value(acc)
+    lock_new = (0.75 * state.carrier_lock
+                + 0.25 * cn0_ops.carrier_lock_value(
+                    acc, rectify=conf.lock_rectify))
     cn0_db = jnp.where(window_done, cn0_new, state.cn0_db_hz)
     carrier_lock = jnp.where(window_done, lock_new, state.carrier_lock)
     in_transitory = state.epoch < conf.fll_pullin_epochs

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 class Cn0AccumState(NamedTuple):
     sum_abs_i: jnp.ndarray   # [C] sum |I_p|
+    sum_abs_q: jnp.ndarray   # [C] sum |Q_p| (rectified lock detector)
     sum_m2: jnp.ndarray      # [C] sum |P|^2
     sum_m4: jnp.ndarray      # [C] sum |P|^4
     sum_i: jnp.ndarray       # [C] sum I (signed, for the lock detector)
@@ -26,7 +27,7 @@ class Cn0AccumState(NamedTuple):
 
 def init_accum(n_channels: int) -> Cn0AccumState:
     z = jnp.zeros(n_channels, jnp.float32)
-    return Cn0AccumState(z, z, z, z, z, z)
+    return Cn0AccumState(z, z, z, z, z, z, z)
 
 
 def accumulate(acc: Cn0AccumState, prompt: jnp.ndarray) -> Cn0AccumState:
@@ -35,6 +36,7 @@ def accumulate(acc: Cn0AccumState, prompt: jnp.ndarray) -> Cn0AccumState:
     p2 = i * i + q * q
     return Cn0AccumState(
         sum_abs_i=acc.sum_abs_i + jnp.abs(i),
+        sum_abs_q=acc.sum_abs_q + jnp.abs(q),
         sum_m2=acc.sum_m2 + p2,
         sum_m4=acc.sum_m4 + p2 * p2,
         sum_i=acc.sum_i + i,
@@ -65,12 +67,22 @@ def cn0_m2m4_estimate(acc: Cn0AccumState, t_int_s) -> jnp.ndarray:
     return 10.0 * jnp.log10(jnp.maximum(p_d / p_n / t_int_s, 1e-10))
 
 
-def carrier_lock_value(acc: Cn0AccumState) -> jnp.ndarray:
+def carrier_lock_value(acc: Cn0AccumState,
+                       rectify: bool = False) -> jnp.ndarray:
     """Carrier lock test ~= cos(2 phase_err): NBD/NBP with the coherent
     sums ((sum I)^2 -/+ (sum Q)^2) — exactly the reference
-    carrier_lock_detector (lock_detectors.cc:133-148)."""
-    i2 = acc.sum_i * acc.sum_i
-    q2 = acc.sum_q * acc.sum_q
+    carrier_lock_detector (lock_detectors.cc:133-148).
+
+    rectify=True uses per-epoch |I| / |Q| sums instead — required for
+    meander/bi-binary signals (GLONASS GNAV) whose data is zero-mean over
+    EVERY window by construction, which drives the coherent ΣI to zero
+    and the classic test to -1 even in perfect lock."""
+    if rectify:
+        i2 = acc.sum_abs_i * acc.sum_abs_i
+        q2 = acc.sum_abs_q * acc.sum_abs_q
+    else:
+        i2 = acc.sum_i * acc.sum_i
+        q2 = acc.sum_q * acc.sum_q
     return (i2 - q2) / jnp.maximum(i2 + q2, 1e-20)
 
 

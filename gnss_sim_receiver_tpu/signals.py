@@ -65,6 +65,15 @@ GPS_L5I = SignalDef("GPS", "L5", constants.GPS_L5_FREQ_HZ,
 GALILEO_E5A_I = SignalDef("Galileo", "5X", constants.GALILEO_E5A_FREQ_HZ,
                           constants.GALILEO_E5A_CODE_RATE_CPS, 10230, 1,
                           1000.0)
+# GLONASS L1 C/A: FDMA — all satellites share the 511-chip code; the
+# carrier sits at L1 + k*562.5 kHz for frequency slot k (nav_bits are
+# 100-sps GNAV meander-half symbols, 10 code epochs each)
+GLONASS_L1_CA = SignalDef("GLONASS", "1G", constants.GLONASS_L1_FREQ_HZ,
+                          constants.GLONASS_CA_CODE_RATE_CPS, 511, 1, 100.0)
+# BeiDou B1I (MEO/IGSO, D1): 1 ms code epochs; 50-bps D1 bits spread by
+# NH20 (nav_bits are per-EPOCH signs — nav.dnav b1i_epoch_signs)
+BEIDOU_B1I = SignalDef("BeiDou", "B1", constants.BEIDOU_B1I_FREQ_HZ,
+                       constants.BEIDOU_B1I_CODE_RATE_CPS, 2046, 1, 1000.0)
 
 
 @functools.lru_cache(maxsize=128)
@@ -136,4 +145,10 @@ def subchip_table(sig: SignalDef, prn: int) -> np.ndarray:
         return prn_codes_multi.gps_l5_code(prn)
     if sig.signal == "5X":
         return e5a_test_code(prn, "I")
+    if sig.signal == "1G":
+        from gnss_sim_receiver_tpu.ops import prn_codes_multi
+        return prn_codes_multi.glonass_l1_ca_code()
+    if sig.signal == "B1":
+        from gnss_sim_receiver_tpu.ops import prn_codes_multi
+        return prn_codes_multi.beidou_b1i_code(prn)
     raise NotImplementedError(sig.signal)

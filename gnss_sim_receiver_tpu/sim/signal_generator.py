@@ -83,6 +83,18 @@ def _sig_params(sat: SatelliteSignalParams):
         # secondary pre-spread, nav.fnav e5a_epoch_signs)
         return (sigdefs.e5a_test_code(sat.prn, "I").astype(np.int8),
                 constants.GALILEO_E5A_CODE_RATE_CPS, 10230)
+    if sat.signal == "1G":
+        from gnss_sim_receiver_tpu.ops import prn_codes_multi as pcm
+        # GLONASS FDMA: the slot offset k*562.5 kHz rides in doppler_hz;
+        # nav_bits are 100-sps GNAV symbols (10 code periods each)
+        return (pcm.glonass_l1_ca_code().astype(np.int8),
+                constants.GLONASS_CA_CODE_RATE_CPS, 5110)
+    if sat.signal == "B1":
+        from gnss_sim_receiver_tpu.ops import prn_codes_multi as pcm
+        # B1I: nav_bits are per-1 ms-EPOCH signs (D1 bit x NH20 pre-spread,
+        # nav.dnav.b1i_epoch_signs)
+        return (pcm.beidou_b1i_code(sat.prn).astype(np.int8),
+                constants.BEIDOU_B1I_CODE_RATE_CPS, 2046)
     raise NotImplementedError(
         f"simulator signal {sat.system}/{sat.signal} not yet supported")
 
