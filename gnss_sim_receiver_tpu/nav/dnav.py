@@ -1,0 +1,369 @@
+"""BeiDou B1I D1 NAV message layer: subframe encode (simulator) and
+streaming decode.
+
+Mirrors the reference's beidou_b1i_telemetry_decoder_gs (preamble
+correlation, BCH(15,11,1) decode with de-interleaving, subframes 1-3 ->
+ephemeris/clock/iono) — src/algorithms/telemetry_decoder/gnuradio_blocks/
+beidou_b1i_telemetry_decoder_gs.cc and
+src/core/system_parameters/beidou_dnav_navigation_message.cc.
+
+Structure per the BDS-SIS-ICD-2.0 (D1, MEO/IGSO):
+  frame = 5 subframes x 6 s; subframe = 10 words x 30 bits at 50 bps;
+  bits additionally spread by the NH20 secondary code (20 x 1 ms epochs
+  per bit — handled by the tracking/telemetry secondary-code layer).
+  word 1 = preamble(11) + rev(4) + FraID(3) + data(8) + BCH parity(4)
+           (only its last 15 bits are one BCH(15,11) codeword);
+  words 2-10 = two BCH(15,11) codewords bit-interleaved (22 data + 8
+           parity bits per word).
+  Subframes 1-3 carry clock/iono/health + the Kepler ephemeris (CGCS2000,
+  same GM as Galileo); 4-5 carry almanac (placeholder here).
+  GEO satellites use D2 at 500 bps (gap item).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+PREAMBLE = np.array([1, 1, 1, 0, 0, 0, 1, 0, 0, 1, 0], dtype=np.int64)
+SUBFRAME_BITS = 300
+SUBFRAME_SECONDS = 6.0
+WORD_BITS = 30
+
+BDS_GM = 3.986004418e14
+BDS_OMEGA_E = 7.2921150e-5
+
+
+# --------------------------------------------------------------------------
+# BCH(15,11,1): g(x) = x^4 + x + 1 (ICD 5.1.3), single-error correcting
+# --------------------------------------------------------------------------
+
+def bch_encode(data11: np.ndarray) -> np.ndarray:
+    """11 data bits -> 15-bit codeword (systematic, parity last)."""
+    reg = 0
+    for b in np.asarray(data11, dtype=np.int64):
+        fb = ((reg >> 3) & 1) ^ int(b)
+        reg = ((reg << 1) & 0xF) ^ (fb * 0b0011)
+        # g = x^4 + x + 1: feedback into taps x^1 and x^0
+    out = np.concatenate([np.asarray(data11, np.int64),
+                          np.array([(reg >> 3) & 1, (reg >> 2) & 1,
+                                    (reg >> 1) & 1, reg & 1], np.int64)])
+    return out
+
+
+_SYNDROME_TO_POS = None
+
+
+def _syndromes():
+    """Map syndrome -> error position by simulating single-bit errors."""
+    global _SYNDROME_TO_POS
+    if _SYNDROME_TO_POS is None:
+        table = {}
+        base = bch_encode(np.zeros(11, np.int64))
+        for pos in range(15):
+            w = base.copy()
+            w[pos] ^= 1
+            s = _syndrome(w)
+            table[s] = pos
+        _SYNDROME_TO_POS = table
+    return _SYNDROME_TO_POS
+
+
+def _syndrome(word15: np.ndarray) -> int:
+    re_enc = bch_encode(np.asarray(word15[:11], np.int64))
+    s = 0
+    for i in range(4):
+        s = (s << 1) | int(re_enc[11 + i] ^ word15[11 + i])
+    return s
+
+
+def bch_decode(word15: np.ndarray):
+    """-> (ok, corrected 11 data bits); corrects single-bit errors."""
+    w = np.asarray(word15, dtype=np.int64).copy()
+    s = _syndrome(w)
+    if s == 0:
+        return True, w[:11]
+    pos = _syndromes().get(s)
+    if pos is None:
+        return False, w[:11]
+    w[pos] ^= 1
+    return _syndrome(w) == 0, w[:11]
+
+
+def interleave_word(cw1: np.ndarray, cw2: np.ndarray) -> np.ndarray:
+    """Two BCH codewords -> 30-bit word, bit-interleaved (ICD 5.1.3)."""
+    out = np.empty(30, dtype=np.int64)
+    out[0::2] = cw1
+    out[1::2] = cw2
+    return out
+
+
+def deinterleave_word(word30: np.ndarray):
+    w = np.asarray(word30, dtype=np.int64)
+    return w[0::2], w[1::2]
+
+
+# --------------------------------------------------------------------------
+# subframe payload layouts: field -> (start, n, scale, signed) over the
+# 198-bit data payload (words 2-10 x 22 data bits; 1-indexed).  Word 1's
+# 8-bit data slot carries SOW's top bits; here the full 20-bit SOW leads
+# the payload instead (self-consistent; BDS scales per ICD tables 5-5..5-11,
+# angles in semicircles).
+# --------------------------------------------------------------------------
+
+_SF1 = {
+    "sow":     (1, 20, 1.0, False),
+    "sat_h1":  (21, 1, 1.0, False),
+    "aodc":    (22, 5, 1.0, False),
+    "urai":    (27, 4, 1.0, False),
+    "wn":      (31, 13, 1.0, False),
+    "toc":     (44, 17, 8.0, False),
+    "tgd1":    (61, 10, 1e-10, True),
+    "alpha0":  (71, 8, 2.0 ** -30, True),
+    "alpha1":  (79, 8, 2.0 ** -27, True),
+    "alpha2":  (87, 8, 2.0 ** -24, True),
+    "alpha3":  (95, 8, 2.0 ** -24, True),
+    "beta0":   (103, 8, 2.0 ** 11, True),
+    "beta1":   (111, 8, 2.0 ** 14, True),
+    "beta2":   (119, 8, 2.0 ** 16, True),
+    "beta3":   (127, 8, 2.0 ** 16, True),
+    "a2":      (135, 11, 2.0 ** -66, True),
+    "a0":      (146, 24, 2.0 ** -33, True),
+    "a1":      (170, 22, 2.0 ** -50, True),
+    "aode":    (192, 5, 1.0, False),
+}
+_SF2 = {
+    "sow":     (1, 20, 1.0, False),
+    "delta_n": (21, 16, 2.0 ** -43, True),
+    "cuc":     (37, 18, 2.0 ** -31, True),
+    "m0":      (55, 32, 2.0 ** -31, True),
+    "ecc":     (87, 32, 2.0 ** -33, False),
+    "cus":     (119, 18, 2.0 ** -31, True),
+    "crc":     (137, 18, 2.0 ** -6, True),
+    "crs":     (155, 18, 2.0 ** -6, True),
+    "sqrt_a":  (173, 32, 2.0 ** -19, False),
+    "toe_msb": (205, 2, 1.0, False),
+}
+_SF3 = {
+    "sow":       (1, 20, 1.0, False),
+    "toe_lsb":   (21, 15, 1.0, False),   # toe = (msb<<15 | lsb) * 2^3 s
+    "i0":        (36, 32, 2.0 ** -31, True),
+    "cic":       (68, 18, 2.0 ** -31, True),
+    "omega_dot": (86, 24, 2.0 ** -43, True),
+    "cis":       (110, 18, 2.0 ** -31, True),
+    "idot":      (128, 14, 2.0 ** -43, True),
+    "omega0":    (142, 32, 2.0 ** -31, True),
+    "omega":     (174, 32, 2.0 ** -31, True),
+}
+SUBFRAME_FIELDS = {1: _SF1, 2: _SF2, 3: _SF3}
+# payload = 8 bits riding in word 1's free data slots + 9 x 22 bits in
+# words 2-10 (the ICD packs SOW across word 1 + word 2 the same way)
+_PAYLOAD_BITS = 8 + 9 * 22
+
+
+def _pack_payload(layout: dict, fields: dict) -> np.ndarray:
+    bits = np.zeros(_PAYLOAD_BITS, dtype=np.int64)
+    for name, (start, n, scale, signed) in layout.items():
+        raw = int(round(fields.get(name, 0.0) / scale))
+        if signed:
+            lim = 1 << (n - 1)
+            raw = max(-lim, min(lim - 1, raw)) & ((1 << n) - 1)
+        else:
+            raw = max(0, min((1 << n) - 1, raw))
+        for i in range(n):
+            bits[start - 1 + i] = (raw >> (n - 1 - i)) & 1
+    return bits
+
+
+def _unpack_payload(layout: dict, bits: np.ndarray) -> dict:
+    fields = {}
+    for name, (start, n, scale, signed) in layout.items():
+        raw = 0
+        for i in range(n):
+            raw = (raw << 1) | int(bits[start - 1 + i])
+        if signed and raw >> (n - 1):
+            raw -= 1 << n
+        fields[name] = raw * scale
+    return fields
+
+
+def pack_subframe(fra_id: int, fields: dict) -> np.ndarray:
+    """-> 300 transmitted bits: word 1 (preamble + FraID + BCH'd tail) +
+    words 2-10 (interleaved double-BCH, 22 payload bits each)."""
+    payload = _pack_payload(SUBFRAME_FIELDS.get(fra_id, {}), fields)
+    out = np.empty(SUBFRAME_BITS, dtype=np.int64)
+    w1_data = np.zeros(11, dtype=np.int64)
+    w1_data[0:4] = payload[0:4]
+    for i in range(3):
+        w1_data[4 + i] = (fra_id >> (2 - i)) & 1
+    w1_data[7:11] = payload[4:8]
+    w1 = bch_encode(w1_data)
+    out[:11] = PREAMBLE
+    out[11:15] = 0                      # rev bits
+    out[15:30] = w1
+    for w in range(9):
+        chunk = payload[8 + w * 22:8 + (w + 1) * 22]
+        out[30 * (w + 1):30 * (w + 2)] = interleave_word(
+            bch_encode(chunk[:11]), bch_encode(chunk[11:22]))
+    return out
+
+
+def unpack_subframe(bits300: np.ndarray):
+    """-> (ok, fra_id, fields); BCH-corrects every word."""
+    b = np.asarray(bits300, dtype=np.int64)
+    ok1, w1_data = bch_decode(b[15:30])
+    fra_id = 0
+    for i in range(3):
+        fra_id = (fra_id << 1) | int(w1_data[4 + i])
+    payload = np.zeros(_PAYLOAD_BITS, dtype=np.int64)
+    payload[0:4] = w1_data[0:4]
+    payload[4:8] = w1_data[7:11]
+    ok = ok1
+    for w in range(9):
+        cw1, cw2 = deinterleave_word(b[30 * (w + 1):30 * (w + 2)])
+        o1, d1 = bch_decode(cw1)
+        o2, d2 = bch_decode(cw2)
+        ok = ok and o1 and o2
+        payload[8 + w * 22:8 + w * 22 + 11] = d1
+        payload[8 + w * 22 + 11:8 + w * 22 + 22] = d2
+    fields = _unpack_payload(SUBFRAME_FIELDS.get(fra_id, {}), payload)
+    return ok, fra_id, fields
+
+
+# --------------------------------------------------------------------------
+# ephemeris <-> subframes (Kepler broadcast, CGCS2000)
+# --------------------------------------------------------------------------
+
+def beidou_ephemeris_to_subframes(eph) -> dict[int, dict]:
+    toe_cnt = int(round(eph.toe / 8.0))
+    return {
+        1: dict(wn=eph.week, toc=eph.toc, a0=eph.af0, a1=eph.af1,
+                a2=eph.af2, tgd1=eph.tgd, aodc=21, aode=21),
+        2: dict(delta_n=eph.delta_n_sc, cuc=eph.cuc, m0=eph.m0_sc,
+                ecc=eph.ecc, cus=eph.cus, crc=eph.crc, crs=eph.crs,
+                sqrt_a=eph.sqrt_a, toe_msb=(toe_cnt >> 15) & 0x3),
+        3: dict(toe_lsb=toe_cnt & 0x7FFF, i0=eph.i0_sc, cic=eph.cic,
+                omega_dot=eph.omega_dot_sc, cis=eph.cis, idot=eph.idot_sc,
+                omega0=eph.omega0_sc, omega=eph.omega_sc),
+    }
+
+
+def subframes_to_beidou_ephemeris(prn: int, sfs: dict[int, dict]):
+    """Subframes 1-3 -> ephemeris (BDS Kepler; GM == Galileo's value so the
+    propagator reuses the 'Galileo' branch; BDT week/epoching is kept on
+    the common sim timescale)."""
+    from gnss_sim_receiver_tpu.nav.ephemeris import GpsEphemeris
+    s1, s2, s3 = sfs[1], sfs[2], sfs[3]
+    toe = ((int(s2["toe_msb"]) << 15) | int(round(s3["toe_lsb"]))) * 8.0
+    return GpsEphemeris(
+        prn=prn, system="BeiDou", week=int(s1["wn"]),
+        toc=s1["toc"], af0=s1["a0"], af1=s1["a1"], af2=s1["a2"],
+        tgd=s1["tgd1"],
+        delta_n_sc=s2["delta_n"], cuc=s2["cuc"], m0_sc=s2["m0"],
+        ecc=s2["ecc"], cus=s2["cus"], crc=s2["crc"], crs=s2["crs"],
+        sqrt_a=s2["sqrt_a"], toe=toe,
+        i0_sc=s3["i0"], cic=s3["cic"], omega_dot_sc=s3["omega_dot"],
+        cis=s3["cis"], idot_sc=s3["idot"], omega0_sc=s3["omega0"],
+        omega_sc=s3["omega"],
+        iode=int(s1.get("aode", 0)), iodc=int(s1.get("aodc", 0)),
+    )
+
+
+def bits_for_ephemeris(eph, t0_bdt_s: float, n_repeats: int = 3
+                       ) -> np.ndarray:
+    """D1 bit stream {0,1} at 50 bps cycling subframes 1,2,3 (4-5 almanac
+    placeholders skipped — frames here are 18 s).  `t0_bdt_s` must be a
+    multiple of 6 s; each subframe's SOW stamps its own first bit."""
+    if t0_bdt_s % SUBFRAME_SECONDS:
+        raise ValueError("t0_bdt_s must be a multiple of 6 s")
+    sfs = beidou_ephemeris_to_subframes(eph)
+    out = []
+    t = t0_bdt_s
+    for _ in range(n_repeats):
+        for fra in (1, 2, 3):
+            f = dict(sfs[fra], sow=t % 604800.0)
+            out.append(pack_subframe(fra, f))
+            t += SUBFRAME_SECONDS
+    return np.concatenate(out)
+
+
+@dataclasses.dataclass
+class DnavSubframeEvent:
+    fra_id: int
+    fields: dict
+    subframe_start_bit: int     # stream bit index of the subframe start
+    ok: bool
+
+
+class DnavSubframeDecoder:
+    """Streaming D1 subframe synchronizer/decoder for one channel: feed
+    soft 50-bps bits (NH20 already wiped by the telemetry layer); preamble
+    + BCH gates, polarity from the preamble sign."""
+
+    def __init__(self):
+        self.bits: list[float] = []
+        self._aligned = False
+        self._inverted = False
+        self._next_sf = 0
+        self._fails = 0
+
+    def push_bits(self, soft) -> list[DnavSubframeEvent]:
+        self.bits.extend(float(s) for s in soft)
+        events = []
+        while True:
+            if not self._aligned and not self._try_align():
+                break
+            if len(self.bits) < self._next_sf + SUBFRAME_BITS:
+                break
+            ev = self._decode_subframe()
+            if ev is not None:
+                events.append(ev)
+        return events
+
+    def _try_align(self) -> bool:
+        s = np.sign(np.asarray(self.bits, dtype=np.float64))
+        pre = 2.0 * PREAMBLE - 1.0
+        n = len(s)
+        i = max(self._next_sf, 0)
+        while i + SUBFRAME_BITS + 11 <= n:
+            c0 = float(np.dot(s[i:i + 11], pre))
+            if abs(c0) == 11.0:
+                c1 = float(np.dot(s[i + SUBFRAME_BITS:
+                                    i + SUBFRAME_BITS + 11], pre))
+                if c1 == c0:
+                    self._aligned = True
+                    self._inverted = c0 < 0
+                    self._next_sf = i
+                    return True
+            i += 1
+        self._next_sf = max(self._next_sf, n - SUBFRAME_BITS - 11)
+        return False
+
+    def _decode_subframe(self):
+        i = self._next_sf
+        raw = np.asarray(self.bits[i:i + SUBFRAME_BITS], dtype=np.float64)
+        if self._inverted:
+            raw = -raw
+        hard = (raw > 0).astype(np.int64)
+        start = i
+        self._next_sf = i + SUBFRAME_BITS
+        ok, fra, fields = unpack_subframe(hard)
+        if not ok:
+            self._fails += 1
+            if self._fails >= 4:
+                self._aligned = False
+                self._fails = 0
+            return DnavSubframeEvent(-1, {}, start, False)
+        self._fails = 0
+        return DnavSubframeEvent(fra, fields, start, True)
+
+
+def b1i_epoch_signs(bits01: np.ndarray) -> np.ndarray:
+    """D1 bits {0,1} at 50 bps -> +-1 per 1 ms B1I code epoch: each 20 ms
+    bit is spread by the NH20 secondary code (the per-epoch modulation the
+    simulator applies)."""
+    from gnss_sim_receiver_tpu.ops.prn_codes_multi import BEIDOU_NH20
+    nh = 1 - 2 * np.asarray(BEIDOU_NH20, np.int64)
+    b = 2 * np.asarray(bits01, np.int64) - 1
+    return (np.repeat(b, 20) * np.tile(nh, len(b))).astype(np.int8)

@@ -61,7 +61,8 @@ class GpsEphemeris:
         t_gps_s (seconds of week).  Vectorized over t."""
         t = np.asarray(t_gps_s, dtype=np.float64)
         a = self.sqrt_a ** 2
-        gm = (constants.GALILEO_GM if self.system == "Galileo"
+        # Galileo (GTRF) and BeiDou (CGCS2000) broadcast the same GM value
+        gm = (constants.GALILEO_GM if self.system in ("Galileo", "BeiDou")
               else constants.GPS_GM)
         n0 = np.sqrt(gm / a ** 3)
         tk = _wrap_week(t - self.toe)
