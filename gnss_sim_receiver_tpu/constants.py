@@ -48,6 +48,13 @@ GALILEO_E5A_FREQ_HZ = 1_176.45e6
 GALILEO_E5A_CODE_RATE_CPS = 10.23e6
 GALILEO_E5A_CODE_LENGTH_CHIPS = 10230
 
+# --- Galileo E5b ------------------------------------------------------------
+GALILEO_E5B_FREQ_HZ = 1_207.14e6
+GALILEO_E5B_CODE_RATE_CPS = 10.23e6
+GALILEO_E5B_CODE_LENGTH_CHIPS = 10230
+# E5b-I secondary code CS4 (same for all SVs, ICD table 37: '1110')
+GALILEO_E5B_I_SECONDARY_CODE = (1, 1, 1, 0)
+
 # --- GLONASS L1 (FDMA) ------------------------------------------------------
 GLONASS_L1_FREQ_HZ = 1_602.0e6
 GLONASS_L1_DFREQ_HZ = 0.5625e6   # frequency-slot spacing (DFRQ1_GLO)

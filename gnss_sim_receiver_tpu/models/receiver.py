@@ -66,6 +66,10 @@ class SignalChainConf:
             from gnss_sim_receiver_tpu.models.telemetry import \
                 GalileoE5aTelemetryDecoder
             return GalileoE5aTelemetryDecoder(prns)
+        if self.signal == "7X":
+            from gnss_sim_receiver_tpu.models.telemetry import \
+                GalileoE5bTelemetryDecoder
+            return GalileoE5bTelemetryDecoder(prns)
         if self.signal == "1B":
             from gnss_sim_receiver_tpu.models.telemetry import \
                 GalileoE1bTelemetryDecoder
@@ -166,6 +170,32 @@ def galileo_e5a_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
     trk_kw.update(trk_overrides)
     return SignalChainConf(
         signal="5X", system="Galileo", prns=tuple(prns),
+        n_channels=n_channels, max_acq_channels=n_channels,
+        acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
+                    doppler_step=250.0, max_dwells=2,
+                    make_two_steps=True, doppler_step2=62.5),
+        trk=TrackingConf(**trk_kw),
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.chip_rate_cps)
+
+
+def galileo_e5b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
+                      **trk_overrides) -> SignalChainConf:
+    """Galileo E5b-I chain: 10.23 Mcps, 1 ms epochs, CS4-spread 250-sps
+    I/NAV symbols (the GALILEO_E5B_* blocks of the reference factory,
+    gnss_block_factory.cc signal '7X')."""
+    from gnss_sim_receiver_tpu import signals
+    sig = signals.GALILEO_E5B_I
+    trk_kw = dict(
+        fs=fs, code_rate_cps=sig.chip_rate_cps,
+        code_length_chips=sig.code_length_chips,
+        carrier_freq_hz=sig.carrier_freq_hz,
+        early_late_space_chips=0.5, pll_bw_hz=50.0,
+        enable_fll_pullin=False,    # CS4 chips flip every 1 ms epoch
+        fll_pullin_epochs=100)
+    trk_kw.update(trk_overrides)
+    return SignalChainConf(
+        signal="7X", system="Galileo", prns=tuple(prns),
         n_channels=n_channels, max_acq_channels=n_channels,
         acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
                     doppler_step=250.0, max_dwells=2,

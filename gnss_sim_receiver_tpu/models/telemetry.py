@@ -676,3 +676,110 @@ class BeidouB1iTelemetryDecoder:
         if (st.ephemeris is None or st.ephemeris.toe != eph.toe):
             st.ephemeris = eph
             new_eph.append((c, eph))
+
+
+# ---------------------------------------------------------------------------
+# Galileo E5b I/NAV telemetry — the reference's unified
+# galileo_telemetry_decoder_gs with frame_type=3 (E5b-I), host-side
+# ---------------------------------------------------------------------------
+
+class GalileoE5bTelemetryDecoder:
+    """Consumes TrackingEngine outputs for E5b-I channels (1 ms code epochs;
+    250-sps I/NAV symbols spread by the fixed 4-chip CS4 secondary code),
+    synchronizes CS4, forms soft symbols, decodes I/NAV pages (nav.inav —
+    same word layer as E1B) and produces TOW stamps + Galileo ephemerides.
+
+    TOW semantics follow the E1B decoder: word 5's page-start symbol is
+    transmitted at GST TOW_5 (galileo_telemetry_decoder_gs.cc frame_type=3
+    branch); symbols span 4 epochs, so the anchor epoch is
+    symbol_base + 4*page_start_symbol."""
+
+    EPOCHS_PER_SYMBOL = 4
+    EPOCH_MS = 1.0
+
+    def __init__(self, prns):
+        from gnss_sim_receiver_tpu import signals
+        from gnss_sim_receiver_tpu.nav.inav import InavPageDecoder
+        self._mk = InavPageDecoder
+        self.prns = [int(p) for p in prns]
+        self.ch = [_CnavChannelTlmState(decoder=InavPageDecoder())
+                   for _ in self.prns]
+        self._cs = signals.e5b_secondary_code().astype(np.float64)
+        self._words = [dict() for _ in self.prns]
+        self._words_iod = [dict() for _ in self.prns]
+
+    def reset_channel(self, c: int, prn: int | None = None,
+                      epoch_base: int | None = None) -> None:
+        st = _CnavChannelTlmState(decoder=self._mk())
+        if epoch_base is not None:
+            st.epoch_count = epoch_base
+        self.ch[c] = st
+        self._words[c] = {}
+        self._words_iod[c] = {}
+        if prn is not None:
+            self.prns[c] = int(prn)
+
+    def process(self, track_outs: dict) -> TelemetryOutputs:
+        from gnss_sim_receiver_tpu.nav.ephemeris import \
+            words_to_galileo_ephemeris
+        prompts = track_outs["prompt"]
+        valid = track_outs["valid"]
+        t_len, n_ch = prompts.shape
+        tow = np.full((t_len, n_ch), np.nan)
+        new_eph = []
+        for c in range(n_ch):
+            st = self.ch[c]
+            base = st.epoch_count
+            for e in range(t_len):
+                if not valid[e, c]:
+                    st.epoch_count += 1
+                    continue
+                if st.symbol_base < 0:
+                    st.symbol_base = st.epoch_count
+                st.pend.append(float(prompts[e, c].real))
+                st.epoch_count += 1
+            symbols = _fold_secondary(st, self._cs, margin=1.15,
+                                      min_symbols=60)
+            for ev in st.decoder.push_symbols(symbols):
+                if not ev.crc_ok:
+                    continue
+                self._handle_word(st, c, ev, new_eph,
+                                  words_to_galileo_ephemeris)
+            if st.anchor_epoch is not None:
+                for e in range(t_len):
+                    idx = base + e
+                    if valid[e, c] and idx >= st.anchor_epoch:
+                        tow[e, c] = (st.anchor_tow_ms
+                                     + (idx + 1 - st.anchor_epoch)
+                                     * self.EPOCH_MS)
+        return TelemetryOutputs(tow_at_epoch_ms=tow,
+                                tow_valid=~np.isnan(tow),
+                                new_ephemerides=new_eph)
+
+    def _handle_word(self, st, c, ev, new_eph, to_eph) -> None:
+        wt = ev.word_type
+        words, words_iod = self._words[c], self._words_iod[c]
+        if wt in (1, 2, 3, 4):
+            words[wt] = ev.fields
+            words_iod[wt] = int(ev.fields["iod_nav"])
+        elif wt == 5:
+            words[5] = ev.fields
+            # word 5's page start (in 250-sps symbols) maps to 4 epochs/sym
+            st.anchor_epoch = (st.symbol_base
+                               + ev.page_start_symbol
+                               * self.EPOCHS_PER_SYMBOL)
+            st.anchor_tow_ms = ev.fields["tow"] * 1000.0
+        if all(k in words for k in (1, 2, 3, 4)):
+            iods = {words_iod[k] for k in (1, 2, 3, 4)}
+            if len(iods) == 1:
+                eph = to_eph(self.prns[c], words)
+                # E5b single-frequency users apply BGD(E1,E5b)*(f1/f7)^2
+                if getattr(eph, "bgd_e1e5b", 0.0):
+                    ratio = (1575.42 / 1207.14) ** 2
+                    eph = dataclasses.replace(
+                        eph, tgd=eph.bgd_e1e5b * ratio)
+                if (st.ephemeris is None
+                        or st.ephemeris.iod_nav != eph.iod_nav
+                        or st.ephemeris.toe != eph.toe):
+                    st.ephemeris = eph
+                    new_eph.append((c, eph))

@@ -342,3 +342,13 @@ class InavPageDecoder:
         data_jk = np.concatenate([even[2:114], bits[2:18]])
         wt, fields = unpack_word(data_jk)
         return InavWordEvent(wt, fields, self._even_start, True)
+
+
+def e5b_epoch_signs(symbols01: np.ndarray) -> np.ndarray:
+    """I/NAV symbols {0,1} at 250 sps -> +-1 per 1 ms E5b code epoch: each
+    4 ms symbol is spread by the fixed 4-chip CS4 secondary code (the
+    per-epoch modulation the simulator applies on E5b-I)."""
+    from gnss_sim_receiver_tpu import signals
+    cs = signals.e5b_secondary_code().astype(np.int64)
+    sym = 2 * np.asarray(symbols01, np.int64) - 1
+    return (np.repeat(sym, 4) * np.tile(cs, len(sym))).astype(np.int8)

@@ -65,6 +65,12 @@ GPS_L5I = SignalDef("GPS", "L5", constants.GPS_L5_FREQ_HZ,
 GALILEO_E5A_I = SignalDef("Galileo", "5X", constants.GALILEO_E5A_FREQ_HZ,
                           constants.GALILEO_E5A_CODE_RATE_CPS, 10230, 1,
                           1000.0)
+# Galileo E5b-I: 1 ms code epochs; 250-sps I/NAV symbols spread by the
+# fixed 4-chip CS4 secondary code (nav_bits are per-EPOCH signs —
+# nav.inav.e5b_epoch_signs)
+GALILEO_E5B_I = SignalDef("Galileo", "7X", constants.GALILEO_E5B_FREQ_HZ,
+                          constants.GALILEO_E5B_CODE_RATE_CPS, 10230, 1,
+                          1000.0)
 # GLONASS L1 C/A: FDMA — all satellites share the 511-chip code; the
 # carrier sits at L1 + k*562.5 kHz for frequency slot k (nav_bits are
 # 100-sps GNAV meander-half symbols, 10 code epochs each)
@@ -107,6 +113,22 @@ def e5a_secondary_code(prn: int, component: str = "I") -> np.ndarray:
     return (rng.integers(0, 2, 20) * 2.0 - 1.0).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=128)
+def e5b_test_code(prn: int, component: str = "I") -> np.ndarray:
+    """Deterministic placeholder E5b primary code (+-1, 10230 chips).
+    Real ICD register-start tables load via data assets; shared by
+    simulator and receiver so the 7X pipeline runs end-to-end in tests."""
+    seed = (prn * 27449 + (0 if component == "I" else 911)) & 0xFFFFFFFF
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, 10230) * 2.0 - 1.0).astype(np.float32)
+
+
+def e5b_secondary_code() -> np.ndarray:
+    """E5b-I 4-chip secondary code CS4 (+-1), same for all satellites."""
+    cs = np.asarray(constants.GALILEO_E5B_I_SECONDARY_CODE, np.float32)
+    return 1.0 - 2.0 * cs
+
+
 def load_e1_code_table(path, prn: int, component: str = "B") -> np.ndarray:
     """Load a real E1 code table asset: text file with lines
     '<prn> <B|C> <hex chips>' (1023 hex chars = 4092 chips, MSB first)."""
@@ -145,6 +167,8 @@ def subchip_table(sig: SignalDef, prn: int) -> np.ndarray:
         return prn_codes_multi.gps_l5_code(prn)
     if sig.signal == "5X":
         return e5a_test_code(prn, "I")
+    if sig.signal == "7X":
+        return e5b_test_code(prn, "I")
     if sig.signal == "1G":
         from gnss_sim_receiver_tpu.ops import prn_codes_multi
         return prn_codes_multi.glonass_l1_ca_code()
