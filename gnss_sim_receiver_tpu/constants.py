@@ -66,6 +66,11 @@ BEIDOU_B1I_FREQ_HZ = 1_561.098e6
 BEIDOU_B1I_CODE_RATE_CPS = 2.046e6
 BEIDOU_B1I_CODE_LENGTH_CHIPS = 2046
 
+# --- BeiDou B3I -------------------------------------------------------------
+BEIDOU_B3I_FREQ_HZ = 1_268.52e6
+BEIDOU_B3I_CODE_RATE_CPS = 10.23e6
+BEIDOU_B3I_CODE_LENGTH_CHIPS = 10230
+
 # --- GPS time ---------------------------------------------------------------
 GPS_WEEK_SECONDS = 604_800
 GPS_TOW_MAX_MS = 604_800_000

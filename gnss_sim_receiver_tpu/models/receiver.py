@@ -52,7 +52,8 @@ class SignalChainConf:
     day_base_s: float = 0.0            # GLONASS day base for tk anchoring
 
     def telemetry_decoder(self, prns):
-        if self.signal == "B1":
+        if self.signal in ("B1", "B3"):
+            # B3I carries the same D1 NAV / NH20 structure as B1I
             from gnss_sim_receiver_tpu.models.telemetry import \
                 BeidouB1iTelemetryDecoder
             return BeidouB1iTelemetryDecoder(prns)
@@ -174,6 +175,32 @@ def galileo_e5a_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
                     doppler_step=250.0, max_dwells=2,
                     make_two_steps=True, doppler_step2=62.5),
+        trk=TrackingConf(**trk_kw),
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.chip_rate_cps)
+
+
+def beidou_b3i_chain(fs: float, prns=tuple(range(6, 31)), n_channels=4,
+                     **trk_overrides) -> SignalChainConf:
+    """BeiDou B3I (MEO/IGSO, D1) chain: 10.23 Mcps, 1 ms epochs, NH20-spread
+    50-bps D1 bits (the BEIDOU_B3I_* blocks of the reference factory)."""
+    from gnss_sim_receiver_tpu import signals
+    sig = signals.BEIDOU_B3I
+    trk_kw = dict(
+        fs=fs, code_rate_cps=sig.chip_rate_cps,
+        code_length_chips=sig.code_length_chips,
+        carrier_freq_hz=sig.carrier_freq_hz,
+        early_late_space_chips=0.5, pll_bw_hz=40.0,
+        enable_fll_pullin=False,    # NH20 chips flip every 1 ms epoch
+        fll_pullin_epochs=100)
+    trk_kw.update(trk_overrides)
+    return SignalChainConf(
+        signal="B3", system="BeiDou", prns=tuple(prns),
+        n_channels=n_channels, max_acq_channels=n_channels,
+        acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
+                    doppler_step=250.0, max_dwells=2,
+                    make_two_steps=True, doppler_step2=62.5,
+                    bit_transition_flag=True),
         trk=TrackingConf(**trk_kw),
         code_provider=lambda p: signals.subchip_table(sig, p),
         sc_rate=sig.chip_rate_cps)

@@ -177,3 +177,49 @@ def gps_l5_code(prn: int, quadrature: bool = False) -> np.ndarray:
     n = np.arange(GPS_L5_LENGTH)
     bits = xa ^ xb[(n + adv_table[prn - 1]) % GPS_L5_LENGTH]
     return _pm1(bits)
+
+
+# B3I G2 per-PRN initial register phases (BDS-SIS-ICD-B3I table 4-4),
+# bit i of the value = register cell i (cell 12 = MSB); the reference
+# equivalent is beidou_b3i_signal_replica.cc:46-109.
+_B3I_G2_INIT = (
+    0x15FF, 0x1E2B, 0x178A, 0x1FFB, 0x191F, 0x1264, 0x1FD2,
+    0x1DFD, 0x1402, 0x041B, 0x1D70, 0x059E, 0x0C95, 0x0E26,
+    0x1189, 0x1C7C, 0x04C5, 0x00EC, 0x1157, 0x02DE, 0x042D,
+    0x058A, 0x02CF, 0x0662, 0x0748, 0x0929, 0x16D3, 0x15E2,
+    0x02F5, 0x0FFF, 0x0D8F, 0x1589, 0x12AB, 0x19A5, 0x1A5D,
+    0x1F74, 0x0567, 0x1D10, 0x1B90, 0x1ACE, 0x1034, 0x0BD9,
+    0x0DBC, 0x1A71, 0x0722, 0x0AC5, 0x13E6, 0x1F48, 0x0149,
+    0x10AC, 0x1E4C, 0x098F, 0x0018, 0x1004, 0x06A6, 0x1646,
+    0x0E78, 0x05CA, 0x19F6, 0x1245, 0x0E20, 0x0642, 0x044E)
+
+BEIDOU_B3I_LENGTH = 10230
+
+
+@functools.lru_cache(maxsize=80)
+def beidou_b3i_code(prn: int) -> np.ndarray:
+    """BeiDou B3I 10230-chip code, PRN 1..63 (BDS-SIS-ICD-B3I 5.2.3;
+    reference behavior beidou_b3i_signal_replica.cc:26-165): two 13-stage
+    LFSRs, output = cell 0, shift toward cell 0.  G1 (all-ones init,
+    feedback cells 0,9,10,12) restarts to all-ones whenever it reaches the
+    truncation state (cells 2..12 set, cells 0..1 clear); G2 (per-PRN init
+    phase, feedback cells 0,1,3,4,6,7,8,12) runs free.  Chip = G1 xor G2."""
+    if not 1 <= prn <= 63:
+        raise ValueError(f"B3I PRN out of range: {prn}")
+    g2_init = _B3I_G2_INIT[prn - 1]
+    g1 = np.ones(13, dtype=np.int64)
+    g2 = np.fromiter(((g2_init >> i) & 1 for i in range(13)), np.int64)
+    reset_state = np.concatenate([np.zeros(2, np.int64),
+                                  np.ones(11, np.int64)])
+    out = np.empty(BEIDOU_B3I_LENGTH, dtype=np.int8)
+    for i in range(BEIDOU_B3I_LENGTH):
+        out[i] = g1[0] ^ g2[0]
+        fb1 = g1[0] ^ g1[9] ^ g1[10] ^ g1[12]
+        fb2 = g2[0] ^ g2[1] ^ g2[3] ^ g2[4] ^ g2[6] ^ g2[7] ^ g2[8] ^ g2[12]
+        g1[:-1] = g1[1:]
+        g1[12] = fb1
+        g2[:-1] = g2[1:]
+        g2[12] = fb2
+        if np.array_equal(g1, reset_state):
+            g1[:] = 1
+    return _pm1(out)

@@ -80,6 +80,10 @@ GLONASS_L1_CA = SignalDef("GLONASS", "1G", constants.GLONASS_L1_FREQ_HZ,
 # NH20 (nav_bits are per-EPOCH signs — nav.dnav b1i_epoch_signs)
 BEIDOU_B1I = SignalDef("BeiDou", "B1", constants.BEIDOU_B1I_FREQ_HZ,
                        constants.BEIDOU_B1I_CODE_RATE_CPS, 2046, 1, 1000.0)
+# BeiDou B3I (MEO/IGSO, D1): same 1 ms epoch / NH20 / D1 structure as B1I
+# but 10.23 Mcps with its own 10230-chip code family
+BEIDOU_B3I = SignalDef("BeiDou", "B3", constants.BEIDOU_B3I_FREQ_HZ,
+                       constants.BEIDOU_B3I_CODE_RATE_CPS, 10230, 1, 1000.0)
 
 
 @functools.lru_cache(maxsize=128)
@@ -175,4 +179,7 @@ def subchip_table(sig: SignalDef, prn: int) -> np.ndarray:
     if sig.signal == "B1":
         from gnss_sim_receiver_tpu.ops import prn_codes_multi
         return prn_codes_multi.beidou_b1i_code(prn)
+    if sig.signal == "B3":
+        from gnss_sim_receiver_tpu.ops import prn_codes_multi
+        return prn_codes_multi.beidou_b3i_code(prn)
     raise NotImplementedError(sig.signal)

@@ -101,6 +101,11 @@ def _sig_params(sat: SatelliteSignalParams):
         # nav.dnav.b1i_epoch_signs)
         return (pcm.beidou_b1i_code(sat.prn).astype(np.int8),
                 constants.BEIDOU_B1I_CODE_RATE_CPS, 2046)
+    if sat.signal == "B3":
+        from gnss_sim_receiver_tpu.ops import prn_codes_multi as pcm
+        # B3I: same per-epoch-sign convention as B1I at 10.23 Mcps
+        return (pcm.beidou_b3i_code(sat.prn).astype(np.int8),
+                constants.BEIDOU_B3I_CODE_RATE_CPS, 10230)
     raise NotImplementedError(
         f"simulator signal {sat.system}/{sat.signal} not yet supported")
 
