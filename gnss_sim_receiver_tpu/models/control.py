@@ -44,8 +44,16 @@ class AcquisitionManager:
     the pool (apply_action event 2, gnss_flowgraph.cc:1924-1989)."""
 
     def __init__(self, prns, n_channels: int, max_acq_channels: int = 2,
-                 max_acq_fails_per_prn: int = 3):
-        self.pool = collections.deque(int(p) for p in prns)
+                 max_acq_fails_per_prn: int = 3, pinned: dict | None = None):
+        """`pinned` maps channel index -> PRN for channels dedicated to one
+        satellite (the reference's Channel<i>.satellite pinning,
+        gnss_flowgraph.cc:1391-1415 assign_channels): a pinned channel only
+        ever acquires its own PRN, and that PRN never enters the shared
+        rotation pool."""
+        self.pinned = {int(c): int(p) for c, p in (pinned or {}).items()}
+        pinned_prns = set(self.pinned.values())
+        self.pool = collections.deque(int(p) for p in prns
+                                      if int(p) not in pinned_prns)
         self.channels = [ChannelStatus() for _ in range(n_channels)]
         self.max_acq = max_acq_channels
         self.max_fails = max_acq_fails_per_prn
@@ -71,10 +79,22 @@ class AcquisitionManager:
         gnss_flowgraph.cc:1797-1878).  Returns newly armed channels."""
         armed = []
         busy = len(self.acquiring_channels())
+        # pinned channels first (assign_channels puts them ahead of the
+        # rotation, gnss_flowgraph.cc:1391-1415)
+        for i, prn in self.pinned.items():
+            ch = self.channels[i]
+            if busy >= self.max_acq:
+                break
+            if ch.state == ChannelState.IDLE:
+                ch.state = ChannelState.ACQUIRING
+                ch.prn = prn
+                ch.acq_fail_count = 0
+                armed.append(i)
+                busy += 1
         for i, ch in enumerate(self.channels):
             if busy >= self.max_acq or not self.pool:
                 break
-            if ch.state == ChannelState.IDLE:
+            if ch.state == ChannelState.IDLE and i not in self.pinned:
                 prn = self._next_prn()
                 if prn is None:
                     break

@@ -151,12 +151,28 @@ def receiver_conf_from_config(config: Configuration) -> ReceiverConf:
         chains.append(chain)
 
     n_channels = config.property("Channels_1C.count", 8)
+    # Channel<i>.satellite pinning (assign_channels,
+    # gnss_flowgraph.cc:1391-1415)
+    pinned = {}
+    for i in range(n_channels):
+        sat = config.property(f"Channel{i}.satellite", 0)
+        if sat:
+            pinned[i] = sat
     return ReceiverConf(
+        pinned_channels=pinned,
         fs=fs, prns=tuple(range(1, 33)), max_channels=n_channels,
         acq=acq, trk=trk, obs=obs, pvt=pvt,
         output_rate_ms=config.property("PVT.output_rate_ms", 20),
         enable_pvt_kf=config.property("PVT.enable_pvt_kf", False),
         chains=tuple(chains), gps_chain=(n_channels > 0),
+        # fork hybrid/pseudolite + rx clock keys (rtklib_pvt.cc:910-917,
+        # conf/gnss-sdr_GPS_L1_bladeRF2_micro_hybrid_nav.conf)
+        hybrid_mode=config.property("GNSS-SDR.hybrid_mode", False),
+        ps_channel=config.property("GNSS-SDR.pseudo_sat_ch_id", -1),
+        enable_rx_clock_propagation=config.property(
+            "PVT.enable_rx_clock_propagation", False),
+        share_rx_clock_bias=config.property("PVT.share_rx_clock_bias",
+                                            False),
     )
 
 

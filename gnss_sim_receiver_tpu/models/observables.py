@@ -41,6 +41,10 @@ class ObsConf:
     # must cover at least one driver chunk of epochs, or ticks older than
     # the retained window silently fail to interpolate
     history_len: int = 1200
+    # hybrid pseudolite channel (GNSS-SDR.pseudo_sat_ch_id): its transmit
+    # clock is not GNSS-synchronized, so the week-rollover travel-time fix
+    # must NOT be applied to it (hybrid_observables_gs.cc:550-556)
+    ps_channel: int = -1
 
 
 @dataclasses.dataclass
@@ -169,6 +173,8 @@ class ObservablesEngine:
         # pseudoranges (compute_pranges)
         travel_ms = self.t_rx_tow_ms - tow
         wrap = np.abs(travel_ms) > 302_400
+        if 0 <= self.conf.ps_channel < self.n:
+            wrap[self.conf.ps_channel] = False
         travel_ms = np.where(wrap, travel_ms + constants.GPS_TOW_MAX_MS,
                              travel_ms)
         pr = travel_ms * _C_MS

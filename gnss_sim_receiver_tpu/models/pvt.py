@@ -51,7 +51,8 @@ class PvtSolution:
 
 
 def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
-              x0=None, systems=None, carrier_freq_hz=None) -> PvtSolution:
+              x0=None, systems=None, carrier_freq_hz=None,
+              exclude_channels=(), fixed_clock_bias_s=None) -> PvtSolution:
     """Solve position/time (+velocity) from one ObservationEpoch.
 
     obs: models.observables.ObservationEpoch
@@ -61,6 +62,13 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
     systems: optional [C] channel -> constellation (default all "GPS");
       mixed-constellation epochs assume a common timescale (GGTO = 0, true
       for the simulator; broadcast GGTO is an extension hook)
+    exclude_channels: channels never used in the solution (the hybrid
+      pseudolite channel — its observable is a time-transfer product, not
+      a navigation range; rtklib_pvt_gs.cc:2346 erases it from the map)
+    fixed_clock_bias_s: hold the rx clock at this value and solve position
+      only (3 unknowns) — the fork's rx-clock-propagation mode
+      (enable_rx_clock_propagation, rtklib_pvt_gs.cc:2444).  Needs >= 3
+      satellites.
     """
     prns = np.asarray(prns)
     if systems is None:
@@ -70,11 +78,13 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
         return (int(prns[c]) if systems[c] == "GPS"
                 else (systems[c], int(prns[c])))
 
+    excl = set(exclude_channels)
     idx = [c for c in range(len(prns))
-           if obs.valid[c] and _key(c) in ephemerides]
+           if obs.valid[c] and c not in excl and _key(c) in ephemerides]
     bad = PvtSolution(False, np.zeros(3), 0.0, np.zeros(3), 0.0,
                       obs.rx_time_s, 0, 0, 0, 0, len(idx), np.array([]))
-    if len(idx) < 4:
+    min_sats = 3 if fixed_clock_bias_s is not None else 4
+    if len(idx) < min_sats:
         return bad
 
     pr = obs.pseudorange_m[idx]
@@ -97,10 +107,14 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
         sat_clk[k] = clk - (eph.tgd if conf.apply_tgd else 0.0)
         sat_vel[k] = eph.sat_vel(t_gps)
 
-    # iterated LS for (x, y, z, c dtr)
+    # iterated LS for (x, y, z, c dtr) — or (x, y, z) with the clock held
+    # at the propagated value
     x = np.zeros(4)
     if x0 is not None:
         x[:3] = x0
+    clock_fixed = fixed_clock_bias_s is not None
+    if clock_fixed:
+        x[3] = C * fixed_clock_bias_s
     el_mask_applied = np.ones(len(idx), bool)
     for it in range(10):
         rng = np.zeros(len(idx))
@@ -139,9 +153,13 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
                     atm[k] += saastamoinen_delay(lat_i, h_i, el)
         resid = pr - (rng + x[3] - C * sat_clk + atm)
         sel = el_mask_applied
-        if sel.sum() < 4:
+        if sel.sum() < min_sats:
             return bad
-        dx, *_ = np.linalg.lstsq(h[sel], resid[sel], rcond=None)
+        if clock_fixed:
+            dx3, *_ = np.linalg.lstsq(h[sel, :3], resid[sel], rcond=None)
+            dx = np.concatenate([dx3, [0.0]])
+        else:
+            dx, *_ = np.linalg.lstsq(h[sel], resid[sel], rcond=None)
         x += dx
         if np.linalg.norm(dx[:3]) < 1e-4:
             break
@@ -151,11 +169,14 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
                 el_mask_applied[k] = np.degrees(el) >= conf.elevation_mask_deg
 
     sel = el_mask_applied
-    if sel.sum() < 4:
+    if sel.sum() < min_sats:
         return bad
     # DOPs from the geometry matrix in ENU
     lat, lon, _ = geodesy.ecef_to_llh(x[:3])
-    q = np.linalg.inv(h[sel].T @ h[sel])
+    hq = h[sel, :3] if clock_fixed else h[sel]
+    q3 = np.linalg.inv(hq.T @ hq)
+    q = np.zeros((4, 4))
+    q[:q3.shape[0], :q3.shape[1]] = q3
     gdop = float(np.sqrt(np.trace(q)))
     if not np.isfinite(gdop) or gdop > conf.max_gdop:
         return bad

@@ -50,6 +50,8 @@ class SignalChainConf:
 
     freq_slot: int = 0                 # GLONASS FDMA slot k (signal "1G")
     day_base_s: float = 0.0            # GLONASS day base for tk anchoring
+    # chain-local channel index -> PRN pinning (Channel<i>.satellite)
+    pinned: dict = dataclasses.field(default_factory=dict)
 
     def telemetry_decoder(self, prns):
         if self.signal in ("B1", "B3"):
@@ -281,6 +283,19 @@ class ReceiverConf:
     chains: tuple = ()                # extra SignalChainConfs beyond GPS L1;
     # set gps_chain=False to drop the implicit GPS L1 chain entirely
     gps_chain: bool = True
+    # hybrid GNSS + pseudolite navigation (GNSS-SDR.hybrid_mode /
+    # GNSS-SDR.pseudo_sat_ch_id): the designated global channel is a
+    # pseudolite tracker whose observable feeds AOWR time transfer instead
+    # of the position solution
+    hybrid_mode: bool = False
+    ps_channel: int = -1
+    ps_range_m: float = 0.4           # known rx<->pseudolite range
+    # rx clock handling (fork: rtklib_pvt.cc:910-917)
+    enable_rx_clock_propagation: bool = False
+    clk_prop_after_n_fixes: int = 10
+    share_rx_clock_bias: bool = False
+    # GPS-chain channel index -> PRN pinning (Channel<i>.satellite)
+    pinned_channels: dict = dataclasses.field(default_factory=dict)
 
     def __post_init__(self):
         if self.acq is None:
@@ -289,6 +304,9 @@ class ReceiverConf:
             self.trk = TrackingConf(fs=self.fs)
         if self.obs is None:
             self.obs = ObsConf(fs=self.fs, interval_ms=self.output_rate_ms)
+        if self.hybrid_mode and self.obs.ps_channel != self.ps_channel:
+            self.obs = dataclasses.replace(self.obs,
+                                           ps_channel=self.ps_channel)
         if self.pvt is None:
             self.pvt = PvtConf()
         # observables history must out-span a tracking chunk (ticks are
@@ -304,7 +322,8 @@ class ReceiverConf:
                 signal="1C", system="GPS", prns=tuple(self.prns),
                 n_channels=self.max_channels,
                 max_acq_channels=self.max_acq_channels,
-                acq=self.acq, trk=self.trk))
+                acq=self.acq, trk=self.trk,
+                pinned=dict(self.pinned_channels)))
         out.extend(self.chains)
         if not out:
             raise ValueError("receiver configured with no signal chains")
@@ -321,6 +340,10 @@ class ReceiverRun:
     events: list               # [(channel, ChannelEvent)]
     track_outputs: dict | None = None
     channel_systems: list = () # constellation per channel
+    # hybrid-mode AOWR products: [(est_tx_tow_s, clock_diff_s)] per fix
+    clock_differences: list = dataclasses.field(default_factory=list)
+    # rx clock sharing records: [(rx_time_s, tag_tow_s, bias_s, prn)]
+    rx_clock_bias_log: list = dataclasses.field(default_factory=list)
 
 
 class _ChainRt:
@@ -331,7 +354,8 @@ class _ChainRt:
         self.offset = obs_offset      # global channel index of channel 0
         n = spec.n_channels
         self.mgr = AcquisitionManager(spec.prns, n,
-                                      max_acq_channels=spec.max_acq_channels)
+                                      max_acq_channels=spec.max_acq_channels,
+                                      pinned=spec.pinned)
         self.trk = TrackingEngine(spec.trk, prns=[0] * n,
                                   code_provider=spec.code_provider)
         self.tlm = spec.telemetry_decoder([0] * n)
@@ -380,6 +404,16 @@ class Receiver:
             from gnss_sim_receiver_tpu.models.pvt_kf import PvtKf
             pvt_kf = PvtKf()
         collected = [] if collect_track_outputs else None
+
+        aowr = None
+        if conf.hybrid_mode and conf.ps_channel >= 0:
+            from gnss_sim_receiver_tpu.models.hybrid import (AowrConf,
+                                                             AowrTimeTransfer)
+            aowr = AowrTimeTransfer(AowrConf(r_ps_true_m=conf.ps_range_m))
+        clock_differences = []
+        rx_clock_bias_log = []
+        n_fixes = 0
+        last_fix_time = None
 
         from gnss_sim_receiver_tpu.utils import xfer
         x_dev = xfer.device_put_complex(
@@ -477,16 +511,47 @@ class Receiver:
                              rt.spec.trk.carrier_freq_hz) for rt in chains])
                 for epoch in obs_eng.pull_ticks(min(tick_bounds)):
                     obs_epochs.append(epoch)
+                    # pseudolite channel: feed AOWR, exclude from PVT
+                    excl = ()
+                    if aowr is not None:
+                        ps = conf.ps_channel
+                        excl = (ps,)
+                        if 0 <= ps < n_total and epoch.valid[ps]:
+                            aowr.update(
+                                float(epoch.pseudorange_m[ps]),
+                                float(epoch.carrier_phase_cycles[ps]))
+                    # rx clock propagation after enough fixes: hold the
+                    # clock at the last bias + drift extrapolation
+                    fixed_clk = None
+                    if (conf.enable_rx_clock_propagation
+                            and last_fix is not None
+                            and n_fixes >= conf.clk_prop_after_n_fixes):
+                        dt = epoch.rx_time_s - last_fix_time
+                        fixed_clk = (last_fix.rx_clock_bias_s
+                                     + last_fix.rx_clock_drift_ss * dt)
                     sol = solve_pvt(epoch, prn_map, ephemerides, conf.pvt,
                                     x0=None if last_fix is None
                                     else last_fix.rx_ecef_m,
                                     systems=sys_map,
-                                    carrier_freq_hz=freq_map)
+                                    carrier_freq_hz=freq_map,
+                                    exclude_channels=excl,
+                                    fixed_clock_bias_s=fixed_clk)
                     if sol.valid:
                         if pvt_kf is not None:
                             pvt_kf.update(sol)
                         last_fix = sol
+                        last_fix_time = epoch.rx_time_s
+                        n_fixes += 1
                         solutions.append(sol)
+                        if conf.share_rx_clock_bias:
+                            ch0 = int(np.flatnonzero(epoch.valid)[0])
+                            rx_clock_bias_log.append(
+                                (epoch.rx_time_s,
+                                 epoch.interp_tow_ms[ch0] / 1000.0,
+                                 sol.rx_clock_bias_s, prn_map[ch0]))
+                        if aowr is not None and aowr.observed:
+                            clock_differences.append(aowr.clock_products(
+                                sol.rx_clock_bias_s, epoch.rx_time_s))
             elif not progressed:
                 cursor += int(chunk_s * conf.fs)
 
@@ -513,7 +578,9 @@ class Receiver:
             channel_prns=prn_map, channel_states=states,
             channel_systems=sys_map,
             ephemerides=ephemerides, events=events,
-            track_outputs=track_outputs)
+            track_outputs=track_outputs,
+            clock_differences=clock_differences,
+            rx_clock_bias_log=rx_clock_bias_log)
 
     @staticmethod
     def _channel_maps(chains, n_total):
