@@ -165,10 +165,18 @@ class ObservablesEngine:
         if not valid.any():
             return None
         # first-fix receiver TOW initialization (update_TOW); afterwards the
-        # clock is advanced per tick in pull_ticks
+        # clock is advanced per tick in pull_ticks.  The pseudolite channel's
+        # transmit clock is NOT GNSS-synchronized, so it must never seed the
+        # common receiver time (hybrid_observables_gs.cc:496-556 excludes the
+        # ps channel from receiver-time logic).
         step = float(self.conf.interval_ms)
+        gnss_valid = valid.copy()
+        if 0 <= self.conf.ps_channel < self.n:
+            gnss_valid[self.conf.ps_channel] = False
         if self.t_rx_tow_ms is None:
-            ref = float(np.nanmax(tow[valid]))
+            if not gnss_valid.any():
+                return None   # cannot anchor rx time to a ps-only epoch
+            ref = float(np.nanmax(tow[gnss_valid]))
             self.t_rx_tow_ms = np.ceil(ref / step) * step
         # pseudoranges (compute_pranges)
         travel_ms = self.t_rx_tow_ms - tow

@@ -25,6 +25,9 @@ OMEGA_E = constants.GPS_OMEGA_EARTH_DOT
 
 @dataclasses.dataclass
 class PvtConf:
+    # PVT.positioning_mode (rtklib_pvt.cc:125-170): Single/Static use the
+    # LS solver below; RTK/PPP modes route to models.rtk
+    positioning_mode: str = "Single"
     elevation_mask_deg: float = 5.0
     max_gdop: float = 30.0
     apply_tgd: bool = True
@@ -201,7 +204,16 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
         rhs[k] = rate_meas[k] - los @ sat_vel[k]
         hv[k, :3] = -los
         hv[k, 3] = 1.0
-    v, *_ = np.linalg.lstsq(hv[sel], rhs[sel], rcond=None)
+    if clock_fixed:
+        # clock held => drift is held too (0: the propagated-clock caller
+        # carries drift from the last free fix); with the 3-satellite
+        # minimum a 4-unknown solve would be underdetermined and lstsq
+        # would return a meaningless minimum-norm drift that the clock
+        # propagation loop then feeds back on itself.
+        v3, *_ = np.linalg.lstsq(hv[sel, :3], rhs[sel], rcond=None)
+        v = np.concatenate([v3, [0.0]])
+    else:
+        v, *_ = np.linalg.lstsq(hv[sel], rhs[sel], rcond=None)
 
     resid_final = resid[sel]
     return PvtSolution(

@@ -409,7 +409,17 @@ class Receiver:
         if conf.hybrid_mode and conf.ps_channel >= 0:
             from gnss_sim_receiver_tpu.models.hybrid import (AowrConf,
                                                              AowrTimeTransfer)
-            aowr = AowrTimeTransfer(AowrConf(r_ps_true_m=conf.ps_range_m))
+            # carrier-phase aiding scales by the ps channel's actual signal
+            # frequency (the reference's SIGNAL_FREQ_MAP lookup,
+            # rtklib_pvt_gs.cc) — not the L1 default, in case the ps channel
+            # lives on a non-L1 chain
+            ps_freq = constants.GPS_L1_FREQ_HZ
+            for rt in chains:
+                if rt.offset <= conf.ps_channel < rt.offset + rt.spec.n_channels:
+                    ps_freq = rt.spec.trk.carrier_freq_hz
+                    break
+            aowr = AowrTimeTransfer(AowrConf(r_ps_true_m=conf.ps_range_m,
+                                             carrier_freq_hz=ps_freq))
         clock_differences = []
         rx_clock_bias_log = []
         n_fixes = 0
@@ -544,7 +554,14 @@ class Receiver:
                         n_fixes += 1
                         solutions.append(sol)
                         if conf.share_rx_clock_bias:
-                            ch0 = int(np.flatnonzero(epoch.valid)[0])
+                            # tag a GNSS channel's TOW/PRN, never the
+                            # pseudolite's (the reference erases the ps
+                            # channel from the observables map before
+                            # write_rx_clock_bias, rtklib_pvt_gs.cc:2346)
+                            cand = np.flatnonzero(epoch.valid)
+                            cand = cand[~np.isin(cand, list(excl))]
+                            ch0 = int(cand[0]) if cand.size else int(
+                                np.flatnonzero(epoch.valid)[0])
                             rx_clock_bias_log.append(
                                 (epoch.rx_time_s,
                                  epoch.interp_tow_ms[ch0] / 1000.0,

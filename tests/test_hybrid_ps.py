@@ -146,16 +146,22 @@ def test_fixed_clock_pvt_mode():
         el, _ = geodesy.elevation_azimuth(rx, pos)
         if np.degrees(el) < 10:
             continue
-        r = np.linalg.norm(pos - rx)
-        # Sagnac consistent with the solver's rotation model
-        tau = r / C
-        ang = constants.GPS_OMEGA_EARTH_DOT * tau
-        rot = np.array([[np.cos(ang), np.sin(ang), 0],
-                        [-np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
-        r = np.linalg.norm(rot @ pos - rx)
+        # transmit-time-consistent measurement model (what the solver
+        # inverts): signal received at GPS time t0 was transmitted at
+        # t_tx = t0 - tau with tau from the Sagnac-rotated range at t_tx;
+        # the decoded TOW is SV time t_tx + clk(t_tx)
+        t_tx, tau = t0, 0.07
+        for _ in range(10):
+            pos, clk = e.sat_pos_clock(t_tx)
+            ang = constants.GPS_OMEGA_EARTH_DOT * tau
+            rot = np.array([[np.cos(ang), np.sin(ang), 0],
+                            [-np.sin(ang), np.cos(ang), 0], [0, 0, 1]])
+            tau = np.linalg.norm(rot @ pos - rx) / C
+            t_tx = t0 - tau
+        r = tau * C
         prns.append(p)
         pr.append(r + C * (bias_s - clk + e.tgd))
-        tow.append((t0 - r / C) * 1000.0)
+        tow.append((t_tx + clk) * 1000.0)
     n = len(prns)
     assert n >= 4
     obs = ObservationEpoch(
