@@ -60,6 +60,13 @@ GLONASS_L1_FREQ_HZ = 1_602.0e6
 GLONASS_L1_DFREQ_HZ = 0.5625e6   # frequency-slot spacing (DFRQ1_GLO)
 GLONASS_CA_CODE_RATE_CPS = 0.511e6
 GLONASS_CA_CODE_LENGTH_CHIPS = 511
+# orbital-slot PRN -> frequency-channel number k (public GLONASS almanac
+# assignment; reference table GLONASS_L1_L2_CA.h:134 GLONASS_PRN)
+GLONASS_PRN_SLOT = {
+    1: 1, 2: -4, 3: 5, 4: 6, 5: 1, 6: -4, 7: 5, 8: 6,
+    9: -2, 10: -7, 11: 0, 12: -1, 13: -2, 14: -7, 15: 0, 16: -1,
+    17: 4, 18: -3, 19: 3, 20: -5, 21: 4, 22: -3, 23: 3, 24: 2,
+}
 
 # --- BeiDou B1I -------------------------------------------------------------
 BEIDOU_B1I_FREQ_HZ = 1_561.098e6

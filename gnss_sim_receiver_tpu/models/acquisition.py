@@ -45,6 +45,14 @@ class AcqConf:
     # use with CFAR — the peak repeats at delay+N and defeats the
     # first-vs-second-peak statistic)
     bit_transition_flag: bool = False
+    # engine variant: "pcps" (plain), "fine_doppler" (iterative Doppler
+    # zoom, pcps_acquisition_fine_doppler_cc), "tong" (Tong sequential
+    # detector, pcps_tong_acquisition_cc)
+    variant: str = "pcps"
+    fine_doppler_iters: int = 3      # zoom iterations (step /4 each)
+    tong_init: int = 1               # Tong counter init (tong_init_val)
+    tong_max: int = 2                # declare at this count (tong_max_val)
+    tong_max_dwells: int = 10        # dismissal dwell cap (tong_max_dwells)
 
 
 @dataclasses.dataclass
@@ -97,29 +105,26 @@ class PcpsAcquisitionEngine:
 
     @property
     def n_samples_needed(self) -> int:
+        if self.conf.variant == "tong":
+            return self.fft_size * self.conf.tong_max_dwells
         return self.n_coherent * self.conf.max_dwells
 
     def acquire(self, x: np.ndarray, samplestamp: int = 0) -> AcqResults:
         """Search every channel's grid over `x` (>= n_samples_needed
         samples)."""
+        if self.conf.variant == "tong":
+            return self._acquire_tong(x, samplestamp)
         m = self.conf.max_dwells
         n = self.fft_size
         if len(x) < m * n:
             raise ValueError(f"need {m * n} samples, got {len(x)}")
         x_dwells = xfer.device_put_complex(
             np.asarray(x[: m * n], dtype=np.complex64).reshape(m, n))
-        grid = pcps.pcps_grid(x_dwells, self.code_fft_conj, self.dopplers,
-                              float(self.conf.fs_in))
-        if self.conf.use_cfar_algorithm:
-            stat, dop_idx, del_idx = pcps.max_to_input_power_stat(
-                grid, jnp.float32(m))
-        else:
-            stat, dop_idx, del_idx = pcps.first_vs_second_peak_stat(
-                grid, self.samples_per_chip)
-        stat = xfer.host_get(stat)
-        del_idx = xfer.host_get(del_idx)
-        doppler_hz = np.asarray(self.dopplers)[xfer.host_get(dop_idx)]
-        if self.conf.make_two_steps:
+        stat, del_idx, doppler_hz = self._coarse(x_dwells)
+        if self.conf.variant == "fine_doppler":
+            doppler_hz, stat2 = self._fine_doppler(x_dwells, doppler_hz)
+            stat = np.maximum(stat, stat2)
+        elif self.conf.make_two_steps:
             doppler_hz, stat2 = self._refine(x_dwells, doppler_hz)
             stat = np.maximum(stat, stat2)
         delay = np.asarray(del_idx, dtype=np.float64)
@@ -134,25 +139,92 @@ class PcpsAcquisitionEngine:
             samplestamp=int(samplestamp),
         )
 
+    def _coarse(self, x_dwells):
+        grid = pcps.pcps_grid(x_dwells, self.code_fft_conj, self.dopplers,
+                              float(self.conf.fs_in))
+        if self.conf.use_cfar_algorithm:
+            stat, dop_idx, del_idx = pcps.max_to_input_power_stat(
+                grid, jnp.float32(x_dwells.shape[0]))
+        else:
+            stat, dop_idx, del_idx = pcps.first_vs_second_peak_stat(
+                grid, self.samples_per_chip)
+        stat = xfer.host_get(stat)
+        del_idx = xfer.host_get(del_idx)
+        doppler_hz = np.asarray(self.dopplers)[xfer.host_get(dop_idx)]
+        return stat, del_idx, doppler_hz
+
+    def _narrow_grid_step(self, x_dwells, centers_hz, step_hz, n_side):
+        """One batched narrow-grid pass: every channel searches its own
+        (2*n_side+1)-bin Doppler set centered on centers_hz — one device
+        dispatch for all channels (pcps_grid_per_channel)."""
+        offsets = ((np.arange(2 * n_side + 1) - n_side) * step_hz)
+        dops = (np.asarray(centers_hz, np.float64)[:, None]
+                + offsets[None, :]).astype(np.float32)
+        grid = pcps.pcps_grid_per_channel(
+            x_dwells, self.code_fft_conj, jnp.asarray(dops),
+            float(self.conf.fs_in))
+        stat, dop_idx, _ = pcps.max_to_input_power_stat(
+            grid, jnp.float32(x_dwells.shape[0]))
+        dop_idx = xfer.host_get(dop_idx)
+        best = np.take_along_axis(dops, dop_idx[:, None], axis=1)[:, 0]
+        return best.astype(np.float64), xfer.host_get(stat)
+
     def _refine(self, x_dwells, coarse_doppler_hz):
         """Step-two narrow-grid Doppler refinement around each channel's
-        coarse hit (pcps_acquisition.cc:698-758)."""
+        coarse hit (pcps_acquisition.cc:698-758, make_2_steps)."""
         conf = self.conf
-        k = conf.num_doppler_bins_step2
-        offsets = (np.arange(2 * k + 1) - k) * conf.doppler_step2
-        best_dop = np.array(coarse_doppler_hz, dtype=np.float64)
-        best_stat = np.zeros(len(self.prns), dtype=np.float64)
-        # one narrow grid per channel center; batch as [C, D2] dopplers by
-        # running each channel against its own bin set via a shared grid of
-        # offsets re-centered per channel
-        for ci in range(len(self.prns)):
-            dops = jnp.asarray((coarse_doppler_hz[ci] + offsets)
-                               .astype(np.float32))
-            grid = pcps.pcps_grid(x_dwells, self.code_fft_conj[ci:ci + 1],
-                                  dops, float(conf.fs_in))
-            stat, dop_idx, _ = pcps.max_to_input_power_stat(
-                grid, jnp.float32(x_dwells.shape[0]))
-            best_dop[ci] = float(coarse_doppler_hz[ci]
-                                 + offsets[int(xfer.host_get(dop_idx)[0])])
-            best_stat[ci] = float(xfer.host_get(stat)[0])
-        return best_dop, best_stat
+        return self._narrow_grid_step(x_dwells, coarse_doppler_hz,
+                                      conf.doppler_step2,
+                                      conf.num_doppler_bins_step2)
+
+    def _fine_doppler(self, x_dwells, coarse_doppler_hz):
+        """Iterative Doppler zoom: re-grid around the current estimate with
+        the step shrinking /4 per iteration — the role of the reference's
+        pcps_acquisition_fine_doppler_cc estimate_Doppler refinement, done
+        as batched narrow grids instead of a per-channel FFT interpolator."""
+        step = self.conf.doppler_step / 2.0
+        dop = np.asarray(coarse_doppler_hz, np.float64)
+        stat = np.zeros(len(self.prns))
+        for _ in range(max(self.conf.fine_doppler_iters, 1)):
+            dop, stat = self._narrow_grid_step(x_dwells, dop, step, 4)
+            step /= 4.0
+        return dop, stat
+
+    def _acquire_tong(self, x: np.ndarray, samplestamp: int) -> AcqResults:
+        """Tong sequential detector (pcps_tong_acquisition_cc): per-channel
+        counter K starts at tong_init; each dwell above threshold K += 1,
+        below K -= 1; detection at K == tong_max, dismissal at K == 0 or
+        after tong_max_dwells dwells.  Dwells are successive sample blocks;
+        each dwell's grids for all channels run in one batched dispatch."""
+        conf = self.conf
+        n = self.fft_size
+        c = len(self.prns)
+        k_counter = np.full(c, conf.tong_init, np.int32)
+        alive = np.ones(c, bool)
+        detected = np.zeros(c, bool)
+        best = dict(stat=np.zeros(c), delay=np.zeros(c), dop=np.zeros(c))
+        n_dwells = min(conf.tong_max_dwells, len(x) // n)
+        for d in range(n_dwells):
+            if not alive.any():
+                break
+            x_dwell = xfer.device_put_complex(
+                np.asarray(x[d * n: (d + 1) * n],
+                           np.complex64).reshape(1, n))
+            stat, del_idx, dop = self._coarse(x_dwell)
+            up = stat > self.threshold
+            k_counter = np.where(alive & up, k_counter + 1,
+                                 np.where(alive, k_counter - 1, k_counter))
+            better = alive & (stat > best["stat"])
+            best["stat"] = np.where(better, stat, best["stat"])
+            best["delay"] = np.where(better, del_idx, best["delay"])
+            best["dop"] = np.where(better, dop, best["dop"])
+            newly = alive & (k_counter >= conf.tong_max)
+            detected |= newly
+            alive &= ~newly & (k_counter > 0)
+        delay = best["delay"].astype(np.float64)
+        if conf.bit_transition_flag:
+            delay = np.mod(delay, self.n_coherent)
+        return AcqResults(
+            detected=detected, test_stat=best["stat"],
+            delay_samples=delay, doppler_hz=best["dop"].astype(np.float64),
+            threshold=self.threshold, samplestamp=int(samplestamp))

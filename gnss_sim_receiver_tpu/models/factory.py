@@ -7,29 +7,98 @@ engines, so reference conf files drive the TPU receiver unchanged.  Blocks
 whose roles the batched design absorbs (channel adapters, msg queues,
 sample counters) have no standalone object — their parameters land in the
 corresponding engine conf.
+
+All nine implemented signal chains are reachable from conf files:
+GPS L1 C/A (1C), Galileo E1B (1B), GPS L2C CM (2S), GPS L5I (L5),
+Galileo E5a-I (5X), Galileo E5b-I (7X), GLONASS L1 C/A (1G, one chain per
+occupied FDMA slot), BeiDou B1I (B1), BeiDou B3I (B3) — matching the
+per-signal dispatch of gnss_block_factory.cc:652-1335 (GetAcqBlock :1349,
+GetTrkBlock :1536).
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+from gnss_sim_receiver_tpu import constants
 from gnss_sim_receiver_tpu.models.acquisition import AcqConf
 from gnss_sim_receiver_tpu.models.observables import ObsConf
 from gnss_sim_receiver_tpu.models.pvt import PvtConf
-from gnss_sim_receiver_tpu.models.receiver import Receiver, ReceiverConf
+from gnss_sim_receiver_tpu.models.receiver import (Receiver, ReceiverConf,
+                                                   SignalChainConf,
+                                                   beidou_b1i_chain,
+                                                   beidou_b3i_chain,
+                                                   galileo_e1b_chain,
+                                                   galileo_e5a_chain,
+                                                   galileo_e5b_chain,
+                                                   glonass_l1_chain,
+                                                   gps_l2c_chain,
+                                                   gps_l5_chain)
 from gnss_sim_receiver_tpu.models.tracking import TrackingConf
 from gnss_sim_receiver_tpu.utils.config import Configuration
 
-_SUPPORTED_ACQ = {
-    "GPS_L1_CA_PCPS_Acquisition",
-    "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler",
+# accepted Role.implementation strings per signal suffix (the reference
+# factory's dispatch, gnss_block_factory.cc:652-1335).  Strings for
+# hardware offload variants (FPGA/GPU/OpenCL) and the legacy/experimental
+# engines that have no equivalent here raise NotImplementedError rather
+# than silently aliasing.
+_ACQ_IMPLS = {
+    "1C": {"GPS_L1_CA_PCPS_Acquisition",
+           "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler",
+           "GPS_L1_CA_PCPS_Tong_Acquisition"},
+    "1B": {"Galileo_E1_PCPS_Ambiguous_Acquisition"},
+    "2S": {"GPS_L2_M_PCPS_Acquisition"},
+    "L5": {"GPS_L5i_PCPS_Acquisition"},
+    "5X": {"Galileo_E5a_Pcps_Acquisition"},
+    "7X": {"Galileo_E5b_PCPS_Acquisition"},
+    "1G": {"GLONASS_L1_CA_PCPS_Acquisition"},
+    "B1": {"BEIDOU_B1I_PCPS_Acquisition"},
+    "B3": {"BEIDOU_B3I_PCPS_Acquisition"},
 }
-_SUPPORTED_TRK = {
-    "GPS_L1_CA_DLL_PLL_Tracking",
-    "GPS_L1_CA_KF_Tracking",
+_TRK_IMPLS = {
+    "1C": {"GPS_L1_CA_DLL_PLL_Tracking", "GPS_L1_CA_KF_Tracking"},
+    "1B": {"Galileo_E1_DLL_PLL_VEML_Tracking"},
+    "2S": {"GPS_L2_M_DLL_PLL_Tracking"},
+    "L5": {"GPS_L5_DLL_PLL_Tracking", "GPS_L5i_DLL_PLL_Tracking"},
+    "5X": {"Galileo_E5a_DLL_PLL_Tracking"},
+    "7X": {"Galileo_E5b_DLL_PLL_Tracking"},
+    "1G": {"GLONASS_L1_CA_DLL_PLL_Tracking"},
+    "B1": {"BEIDOU_B1I_DLL_PLL_Tracking"},
+    "B3": {"BEIDOU_B3I_DLL_PLL_Tracking"},
 }
-_SUPPORTED_ACQ_1B = {"Galileo_E1_PCPS_Ambiguous_Acquisition"}
-_SUPPORTED_TRK_1B = {"Galileo_E1_DLL_PLL_VEML_Tracking"}
+_DEFAULT_ACQ = {
+    "1C": "GPS_L1_CA_PCPS_Acquisition",
+    "1B": "Galileo_E1_PCPS_Ambiguous_Acquisition",
+    "2S": "GPS_L2_M_PCPS_Acquisition",
+    "L5": "GPS_L5i_PCPS_Acquisition",
+    "5X": "Galileo_E5a_Pcps_Acquisition",
+    "7X": "Galileo_E5b_PCPS_Acquisition",
+    "1G": "GLONASS_L1_CA_PCPS_Acquisition",
+    "B1": "BEIDOU_B1I_PCPS_Acquisition",
+    "B3": "BEIDOU_B3I_PCPS_Acquisition",
+}
+_DEFAULT_TRK = {
+    "1C": "GPS_L1_CA_DLL_PLL_Tracking",
+    "1B": "Galileo_E1_DLL_PLL_VEML_Tracking",
+    "2S": "GPS_L2_M_DLL_PLL_Tracking",
+    "L5": "GPS_L5_DLL_PLL_Tracking",
+    "5X": "Galileo_E5a_DLL_PLL_Tracking",
+    "7X": "Galileo_E5b_DLL_PLL_Tracking",
+    "1G": "GLONASS_L1_CA_DLL_PLL_Tracking",
+    "B1": "BEIDOU_B1I_DLL_PLL_Tracking",
+    "B3": "BEIDOU_B3I_DLL_PLL_Tracking",
+}
+_CHAIN_BUILDERS = {
+    "1B": galileo_e1b_chain,
+    "2S": gps_l2c_chain,
+    "L5": gps_l5_chain,
+    "5X": galileo_e5a_chain,
+    "7X": galileo_e5b_chain,
+    "B1": beidou_b1i_chain,
+    "B3": beidou_b3i_chain,
+}
+# every signal group the factory recognises, reference order
+ALL_SIGNALS = ("1C", "1B", "2S", "L5", "5X", "7X", "1G", "B1", "B3")
 
 
 @dataclasses.dataclass
@@ -53,59 +122,188 @@ def source_from_config(config: Configuration) -> SourceSpec:
     )
 
 
-def receiver_conf_from_config(config: Configuration) -> ReceiverConf:
-    """Build the full receiver configuration from reference-style keys
-    (GPS L1 C/A chain; other constellations join as their engines land)."""
-    fs = float(config.property("GNSS-SDR.internal_fs_sps", 2_000_000))
-
-    acq_impl = config.property("Acquisition_1C.implementation",
-                               "GPS_L1_CA_PCPS_Acquisition")
-    if acq_impl not in _SUPPORTED_ACQ:
+def _check_impls(config: Configuration, sig: str) -> tuple[str, str]:
+    acq_impl = config.property(f"Acquisition_{sig}.implementation",
+                               _DEFAULT_ACQ[sig])
+    if acq_impl not in _ACQ_IMPLS[sig]:
         raise NotImplementedError(f"acquisition {acq_impl}")
-    acq = AcqConf(
-        fs_in=fs,
-        doppler_max=float(config.property("Acquisition_1C.doppler_max",
-                                          5000)),
-        doppler_step=float(config.property("Acquisition_1C.doppler_step",
-                                           250)),
-        sampled_ms=config.property(
-            "Acquisition_1C.coherent_integration_time_ms", 1),
-        max_dwells=max(config.property("Acquisition_1C.max_dwells", 2), 1),
-        pfa=config.property("Acquisition_1C.pfa", 0.01),
-        threshold=config.property("Acquisition_1C.threshold", 0.0),
-        use_cfar_algorithm=config.property(
-            "Acquisition_1C.use_CFAR_algorithm", True),
-        make_two_steps=config.property("Acquisition_1C.make_two_steps",
-                                       False),
-        doppler_step2=float(config.property("Acquisition_1C.second_doppler_step",
-                                            125.0)),
+    trk_impl = config.property(f"Tracking_{sig}.implementation",
+                               _DEFAULT_TRK[sig])
+    if trk_impl not in _TRK_IMPLS[sig]:
+        raise NotImplementedError(f"tracking {trk_impl}")
+    return acq_impl, trk_impl
+
+
+def _acq_from_config(config: Configuration, sig: str,
+                     base: AcqConf, acq_impl: str) -> AcqConf:
+    """Per-signal Acquisition_<sig>.* keys -> AcqConf, defaults from the
+    chain builder (the reference adapters' Acq_Conf fill,
+    e.g. gps_l1_ca_pcps_acquisition.cc)."""
+    p = f"Acquisition_{sig}."
+    pfa = config.property(p + "pfa", base.pfa)
+    variant = ("fine_doppler" if acq_impl.endswith("Fine_Doppler")
+               else "tong" if "Tong" in acq_impl else "pcps")
+    return dataclasses.replace(
+        base,
+        doppler_max=float(config.property(p + "doppler_max",
+                                          base.doppler_max)),
+        doppler_step=float(config.property(p + "doppler_step",
+                                           base.doppler_step)),
+        sampled_ms=config.property(p + "coherent_integration_time_ms",
+                                   base.sampled_ms),
+        max_dwells=max(config.property(p + "max_dwells", base.max_dwells),
+                       1),
+        pfa=pfa,
+        threshold=config.property(p + "threshold", base.threshold),
+        use_cfar_algorithm=config.property(p + "use_CFAR_algorithm",
+                                           base.use_cfar_algorithm),
+        make_two_steps=config.property(p + "make_two_steps",
+                                       base.make_two_steps),
+        doppler_step2=float(config.property(p + "second_doppler_step",
+                                            base.doppler_step2)),
+        num_doppler_bins_step2=config.property(
+            p + "second_nbins", base.num_doppler_bins_step2),
+        bit_transition_flag=config.property(p + "bit_transition_flag",
+                                            base.bit_transition_flag),
+        variant=variant,
+        tong_init=config.property(p + "tong_init_val", 1),
+        tong_max=config.property(p + "tong_max_val", 2),
+        tong_max_dwells=config.property(p + "tong_max_dwells", 10),
     )
 
-    trk_impl = config.property("Tracking_1C.implementation",
-                               "GPS_L1_CA_DLL_PLL_Tracking")
-    if trk_impl not in _SUPPORTED_TRK:
-        raise NotImplementedError(f"tracking {trk_impl}")
-    trk = TrackingConf(
-        fs=fs,
-        tracking_mode=("kf" if trk_impl == "GPS_L1_CA_KF_Tracking"
-                       else "dll_pll"),
-        pll_bw_hz=config.property("Tracking_1C.pll_bw_hz", 35.0),
-        dll_bw_hz=config.property("Tracking_1C.dll_bw_hz", 2.0),
-        pll_filter_order=config.property("Tracking_1C.order", 3),
-        early_late_space_chips=config.property(
-            "Tracking_1C.early_late_space_chips", 0.5),
-        enable_fll_pullin=config.property("Tracking_1C.enable_fll_pullin",
-                                          True),
-        fll_bw_hz=config.property("Tracking_1C.fll_bw_hz", 15.0),
-        cn0_min_db_hz=config.property("Tracking_1C.cn0_min", 25.0),
-        max_lock_fail=config.property("Tracking_1C.max_lock_fail", 50),
+
+def _trk_from_config(config: Configuration, sig: str, base: TrackingConf,
+                     trk_impl: str) -> TrackingConf:
+    """Per-signal Tracking_<sig>.* keys -> TrackingConf (the reference
+    adapters' Dll_Pll_Conf fill, dll_pll_conf.h:42-80)."""
+    p = f"Tracking_{sig}."
+    # VEML spacing keys are in chips; sub-chip engines (E1 BOC) scale x2
+    sc = 2.0 if sig == "1B" else 1.0
+    ve = config.property(p + "very_early_late_space_chips",
+                         base.very_early_late_space_chips / sc)
+    return dataclasses.replace(
+        base,
+        tracking_mode=("kf" if trk_impl.endswith("KF_Tracking")
+                       else base.tracking_mode),
+        pll_bw_hz=config.property(p + "pll_bw_hz", base.pll_bw_hz),
+        dll_bw_hz=config.property(p + "dll_bw_hz", base.dll_bw_hz),
+        pll_filter_order=config.property(p + "order",
+                                         base.pll_filter_order),
+        enable_fll_pullin=config.property(p + "enable_fll_pullin",
+                                          base.enable_fll_pullin),
+        fll_bw_hz=config.property(p + "fll_bw_hz", base.fll_bw_hz),
+        early_late_space_chips=sc * config.property(
+            p + "early_late_space_chips", base.early_late_space_chips / sc),
+        very_early_late_space_chips=sc * ve,
+        cn0_min_db_hz=config.property(p + "cn0_min", base.cn0_min_db_hz),
+        max_lock_fail=config.property(p + "max_lock_fail",
+                                      base.max_lock_fail),
         extend_correlation_symbols=config.property(
-            "Tracking_1C.extend_correlation_symbols", 1),
-        pll_bw_narrow_hz=config.property("Tracking_1C.pll_bw_narrow_hz",
-                                         15.0),
-        dll_bw_narrow_hz=config.property("Tracking_1C.dll_bw_narrow_hz",
-                                         0.5),
+            p + "extend_correlation_symbols",
+            base.extend_correlation_symbols),
+        pll_bw_narrow_hz=config.property(p + "pll_bw_narrow_hz",
+                                         base.pll_bw_narrow_hz),
+        dll_bw_narrow_hz=config.property(p + "dll_bw_narrow_hz",
+                                         base.dll_bw_narrow_hz),
     )
+
+
+def _pinned_channels(config: Configuration, offset: int, count: int) -> dict:
+    """Channel<i>.satellite pinning for the chain occupying global channel
+    indexes [offset, offset+count) (assign_channels,
+    gnss_flowgraph.cc:1391-1415)."""
+    pinned = {}
+    for i in range(count):
+        sat = config.property(f"Channel{offset + i}.satellite", 0)
+        if sat:
+            pinned[i] = sat
+    return pinned
+
+
+def chains_from_config(config: Configuration) -> list[SignalChainConf]:
+    """All non-1C chains configured via Channels_<sig>.count."""
+    fs = float(config.property("GNSS-SDR.internal_fs_sps", 2_000_000))
+    in_acq = config.property("Channels.in_acquisition", 0)
+    chains = []
+    offset = config.property("Channels_1C.count", 0)
+    for sig in ALL_SIGNALS[1:]:
+        n = config.property(f"Channels_{sig}.count", 0)
+        if n <= 0:
+            continue
+        acq_impl, trk_impl = _check_impls(config, sig)
+        if sig == "1G":
+            # FDMA: one chain per occupied frequency slot
+            # (pcps_acquisition.cc:211-230 d_doppler_bias); PRN -> slot map
+            # from the constellation table (GLONASS_L1_L2_CA.h:134)
+            by_slot: dict[int, list[int]] = {}
+            for prn in range(1, 25):
+                k = constants.GLONASS_PRN_SLOT.get(prn)
+                if k is not None:
+                    by_slot.setdefault(k, []).append(prn)
+            remaining = n
+            for k in sorted(by_slot):
+                if remaining <= 0:
+                    break
+                prns = by_slot[k]
+                nc = min(len(prns), remaining)
+                chain = glonass_l1_chain(fs, prns=prns, freq_slot=k,
+                                         n_channels=nc)
+                chain.acq = _acq_from_config(config, sig, chain.acq,
+                                             acq_impl)
+                # keep the slot's carrier offset in the acquisition center
+                chain.acq = dataclasses.replace(
+                    chain.acq,
+                    doppler_center=k * constants.GLONASS_L1_DFREQ_HZ)
+                chain.trk = _trk_from_config(config, sig, chain.trk,
+                                             trk_impl)
+                chain.pinned = _pinned_channels(config, offset, nc)
+                offset += nc
+                remaining -= nc
+                chains.append(chain)
+            continue
+        chain = _CHAIN_BUILDERS[sig](fs, n_channels=n)
+        if in_acq:
+            chain.max_acq_channels = min(in_acq, n)
+        chain.acq = _acq_from_config(config, sig, chain.acq, acq_impl)
+        chain.trk = _trk_from_config(config, sig, chain.trk, trk_impl)
+        chain.pinned = _pinned_channels(config, offset, n)
+        offset += n
+        chains.append(chain)
+    return chains
+
+
+def pvt_conf_from_config(config: Configuration) -> PvtConf:
+    """PVT solver keys (the rtklib_pvt adapter's conf fill,
+    rtklib_pvt.cc:78-917 — the solver-behavior subset; output printers are
+    separate keys consumed by __main__._write_outputs)."""
+    mode = config.property("PVT.positioning_mode", "Single")
+    if mode not in ("Single", "Static", "PPP_Static", "PPP_Kinematic",
+                    "Kinematic", "DGPS"):
+        raise NotImplementedError(f"PVT.positioning_mode {mode}")
+    return PvtConf(
+        positioning_mode=mode,
+        elevation_mask_deg=config.property("PVT.elevation_mask", 5.0),
+        max_gdop=config.property("PVT.threshold_reject_GDOP", 30.0),
+        iono_model=config.property("PVT.iono_model", "OFF"),
+        trop_model=config.property("PVT.trop_model", "OFF"),
+    )
+
+
+def receiver_conf_from_config(config: Configuration) -> ReceiverConf:
+    """Build the full receiver configuration from reference-style keys for
+    every implemented signal chain."""
+    fs = float(config.property("GNSS-SDR.internal_fs_sps", 2_000_000))
+    chains = chains_from_config(config)
+
+    # GPS L1 C/A is the reference's default chain: 8 channels when nothing
+    # else is configured, else exactly what Channels_1C.count says
+    n_1c = config.property("Channels_1C.count", 0 if chains else 8)
+    acq_impl, trk_impl = _check_impls(config, "1C")
+    acq = _acq_from_config(
+        config, "1C",
+        AcqConf(fs_in=fs, doppler_max=5000, doppler_step=250, sampled_ms=1,
+                max_dwells=2, pfa=0.01), acq_impl)
+    trk = _trk_from_config(config, "1C", TrackingConf(fs=fs), trk_impl)
 
     obs = ObsConf(
         fs=fs,
@@ -114,57 +312,17 @@ def receiver_conf_from_config(config: Configuration) -> ReceiverConf:
         smoothing_factor=config.property(
             "Observables.smoothing_factor", 0),
     )
-    pvt = PvtConf(
-        elevation_mask_deg=config.property("PVT.elevation_mask", 5.0),
-        max_gdop=config.property("PVT.threshold_reject_GDOP", 30.0),
-        iono_model=config.property("PVT.iono_model", "OFF"),
-        trop_model=config.property("PVT.trop_model", "OFF"),
-    )
-    # Galileo E1B channel group (Channels_1B.count > 0 in hybrid confs,
-    # e.g. conf/gnss-sdr_Hybrid_byte.conf:52,97-118)
-    chains = []
-    n_1b = config.property("Channels_1B.count", 0)
-    if n_1b > 0:
-        acq_1b = config.property("Acquisition_1B.implementation",
-                                 "Galileo_E1_PCPS_Ambiguous_Acquisition")
-        if acq_1b not in _SUPPORTED_ACQ_1B:
-            raise NotImplementedError(f"acquisition {acq_1b}")
-        trk_1b = config.property("Tracking_1B.implementation",
-                                 "Galileo_E1_DLL_PLL_VEML_Tracking")
-        if trk_1b not in _SUPPORTED_TRK_1B:
-            raise NotImplementedError(f"tracking {trk_1b}")
-        from gnss_sim_receiver_tpu.models.receiver import galileo_e1b_chain
-        chain = galileo_e1b_chain(
-            fs, n_channels=n_1b,
-            pll_bw_hz=config.property("Tracking_1B.pll_bw_hz", 15.0),
-            dll_bw_hz=config.property("Tracking_1B.dll_bw_hz", 2.0))
-        chain.acq = dataclasses.replace(
-            chain.acq,
-            doppler_max=float(config.property("Acquisition_1B.doppler_max",
-                                              5000)),
-            doppler_step=float(config.property("Acquisition_1B.doppler_step",
-                                               125)))
-        ve = config.property("Tracking_1B.very_early_late_space_chips", 0.0)
-        if ve > 0:
-            chain.trk = dataclasses.replace(
-                chain.trk, very_early_late_space_chips=2.0 * ve)  # sub-chips
-        chains.append(chain)
-
-    n_channels = config.property("Channels_1C.count", 8)
-    # Channel<i>.satellite pinning (assign_channels,
-    # gnss_flowgraph.cc:1391-1415)
-    pinned = {}
-    for i in range(n_channels):
-        sat = config.property(f"Channel{i}.satellite", 0)
-        if sat:
-            pinned[i] = sat
+    pvt = pvt_conf_from_config(config)
+    in_acq = config.property("Channels.in_acquisition", 0)
     return ReceiverConf(
-        pinned_channels=pinned,
-        fs=fs, prns=tuple(range(1, 33)), max_channels=n_channels,
+        pinned_channels=_pinned_channels(config, 0, n_1c),
+        fs=fs, prns=tuple(range(1, 33)), max_channels=max(n_1c, 1),
+        max_acq_channels=(min(in_acq, n_1c) if in_acq and n_1c
+                          else max(n_1c, 1)),
         acq=acq, trk=trk, obs=obs, pvt=pvt,
         output_rate_ms=config.property("PVT.output_rate_ms", 20),
         enable_pvt_kf=config.property("PVT.enable_pvt_kf", False),
-        chains=tuple(chains), gps_chain=(n_channels > 0),
+        chains=tuple(chains), gps_chain=(n_1c > 0),
         # fork hybrid/pseudolite + rx clock keys (rtklib_pvt.cc:910-917,
         # conf/gnss-sdr_GPS_L1_bladeRF2_micro_hybrid_nav.conf)
         hybrid_mode=config.property("GNSS-SDR.hybrid_mode", False),

@@ -61,6 +61,33 @@ def pcps_grid(x_dwells: jax.Array, code_fft_conj: jax.Array,
     return jnp.sum(mag, axis=0)                                    # [C, D, N]
 
 
+@partial(jax.jit, static_argnames=("fs",))
+def pcps_grid_per_channel(x_dwells: jax.Array, code_fft_conj: jax.Array,
+                          dopplers: jax.Array, fs: float) -> jax.Array:
+    """PCPS grid where every channel searches its OWN Doppler bin set.
+
+    Args:
+      x_dwells: [M, N] complex64 dwells.
+      code_fft_conj: [C, N] complex64.
+      dopplers: [C, D] float32 per-channel Doppler centers (Hz).
+
+    Returns [C, D, N] float32.  Used by the batched two-step refinement
+    (pcps_acquisition.cc:698-758 make_2_steps: narrow grid re-centered on
+    each channel's coarse hit) — all channels refine in ONE dispatch
+    instead of the reference's per-channel re-run.
+    """
+    m, n = x_dwells.shape
+    t = jnp.arange(n, dtype=jnp.float32) / jnp.float32(fs)
+    phase = -2.0 * jnp.pi * dopplers[:, :, None] * t[None, None, :]
+    carrier = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))  # [C, D, N]
+    wiped = x_dwells[:, None, None, :] * carrier[None]         # [M, C, D, N]
+    spec = jnp.fft.fft(wiped, axis=-1)
+    prod = spec * code_fft_conj[None, :, None, :]
+    corr = jnp.fft.ifft(prod, axis=-1)
+    mag = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
+    return jnp.sum(mag, axis=0)                                # [C, D, N]
+
+
 @jax.jit
 def grid_peak(grid: jax.Array):
     """Argmax over each channel's (Doppler, delay) grid.

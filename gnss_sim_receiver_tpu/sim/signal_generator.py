@@ -81,13 +81,13 @@ def _sig_params(sat: SatelliteSignalParams):
         from gnss_sim_receiver_tpu import signals as sigdefs
         # E5a-I: nav_bits are per-1 ms-EPOCH signs (F/NAV symbol x CS20
         # secondary pre-spread, nav.fnav e5a_epoch_signs)
-        return (sigdefs.e5a_test_code(sat.prn, "I").astype(np.int8),
+        return (sigdefs.galileo_e5a_code(sat.prn, "I").astype(np.int8),
                 constants.GALILEO_E5A_CODE_RATE_CPS, 10230)
     if sat.signal == "7X":
         from gnss_sim_receiver_tpu import signals as sigdefs
         # E5b-I: nav_bits are per-1 ms-EPOCH signs (I/NAV symbol x CS4
         # secondary pre-spread, nav.inav.e5b_epoch_signs)
-        return (sigdefs.e5b_test_code(sat.prn, "I").astype(np.int8),
+        return (sigdefs.galileo_e5b_code(sat.prn, "I").astype(np.int8),
                 constants.GALILEO_E5B_CODE_RATE_CPS, 10230)
     if sat.signal == "1G":
         from gnss_sim_receiver_tpu.ops import prn_codes_multi as pcm

@@ -130,4 +130,4 @@ def test_e5b_chain_conf():
     assert isinstance(c.telemetry_decoder([0]), GalileoE5bTelemetryDecoder)
     t = signals.subchip_table(signals.GALILEO_E5B_I, 11)
     assert t.shape == (10230,)
-    np.testing.assert_array_equal(t, signals.e5b_test_code(11, "I"))
+    np.testing.assert_array_equal(t, signals.galileo_e5b_code(11, "I"))

@@ -133,4 +133,4 @@ def test_e5a_chain_conf():
     # simulator + subchip table agree on the placeholder code
     t = signals.subchip_table(signals.GALILEO_E5A_I, 19)
     assert t.shape == (10230,)
-    np.testing.assert_array_equal(t, signals.e5a_test_code(19, "I"))
+    np.testing.assert_array_equal(t, signals.galileo_e5a_code(19, "I"))

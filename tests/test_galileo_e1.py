@@ -3,9 +3,8 @@ coherent), DLL/PLL tracking on the sub-chip table (reference analogues:
 galileo_e1_pcps_ambiguous_acquisition_test.cc,
 galileo_e1_dll_pll_veml_tracking_test.cc).
 
-Uses deterministic placeholder memory codes (signals.e1_test_code) shared
-by simulator and receiver; real ICD tables load via
-signals.load_e1_code_table.
+Uses the real ICD memory-code tables (signals.galileo_e1_code, shipped in
+data/galileo_codes.npz) shared by simulator and receiver.
 """
 
 import numpy as np
