@@ -55,6 +55,15 @@ class AcqConf:
     tong_max_dwells: int = 10        # dismissal dwell cap (tong_max_dwells)
 
 
+def _dwell_view(x, m: int, n: int):
+    """[m, n] complex64 dwell view of x: a device array is sliced/reshaped
+    on-device (no host round-trip); host arrays are uploaded once."""
+    if isinstance(x, jnp.ndarray):
+        return x[: m * n].reshape(m, n).astype(jnp.complex64)
+    return xfer.device_put_complex(
+        np.asarray(x[: m * n], dtype=np.complex64).reshape(m, n))
+
+
 @dataclasses.dataclass
 class AcqResults:
     """Per-channel acquisition outcome (fills the Gnss_Synchro Acq_* fields,
@@ -118,8 +127,7 @@ class PcpsAcquisitionEngine:
         n = self.fft_size
         if len(x) < m * n:
             raise ValueError(f"need {m * n} samples, got {len(x)}")
-        x_dwells = xfer.device_put_complex(
-            np.asarray(x[: m * n], dtype=np.complex64).reshape(m, n))
+        x_dwells = _dwell_view(x, m, n)
         stat, del_idx, doppler_hz = self._coarse(x_dwells)
         if self.conf.variant == "fine_doppler":
             doppler_hz, stat2 = self._fine_doppler(x_dwells, doppler_hz)
@@ -148,9 +156,13 @@ class PcpsAcquisitionEngine:
         else:
             stat, dop_idx, del_idx = pcps.first_vs_second_peak_stat(
                 grid, self.samples_per_chip)
-        stat = xfer.host_get(stat)
-        del_idx = xfer.host_get(del_idx)
-        doppler_hz = np.asarray(self.dopplers)[xfer.host_get(dop_idx)]
+        # one packed device->host transfer (remote-TPU latency dominates)
+        buf = np.asarray(jnp.stack([stat.astype(jnp.float32),
+                                    dop_idx.astype(jnp.float32),
+                                    del_idx.astype(jnp.float32)]))
+        stat = buf[0].astype(np.float64)
+        del_idx = buf[2].astype(np.int64)
+        doppler_hz = np.asarray(self.dopplers)[buf[1].astype(np.int64)]
         return stat, del_idx, doppler_hz
 
     def _narrow_grid_step(self, x_dwells, centers_hz, step_hz, n_side):
@@ -165,9 +177,11 @@ class PcpsAcquisitionEngine:
             float(self.conf.fs_in))
         stat, dop_idx, _ = pcps.max_to_input_power_stat(
             grid, jnp.float32(x_dwells.shape[0]))
-        dop_idx = xfer.host_get(dop_idx)
+        buf = np.asarray(jnp.stack([stat.astype(jnp.float32),
+                                    dop_idx.astype(jnp.float32)]))
+        dop_idx = buf[1].astype(np.int64)
         best = np.take_along_axis(dops, dop_idx[:, None], axis=1)[:, 0]
-        return best.astype(np.float64), xfer.host_get(stat)
+        return best.astype(np.float64), buf[0].astype(np.float64)
 
     def _refine(self, x_dwells, coarse_doppler_hz):
         """Step-two narrow-grid Doppler refinement around each channel's
@@ -207,9 +221,7 @@ class PcpsAcquisitionEngine:
         for d in range(n_dwells):
             if not alive.any():
                 break
-            x_dwell = xfer.device_put_complex(
-                np.asarray(x[d * n: (d + 1) * n],
-                           np.complex64).reshape(1, n))
+            x_dwell = _dwell_view(x[d * n: (d + 1) * n], 1, n)
             stat, del_idx, dop = self._coarse(x_dwell)
             up = stat > self.threshold
             k_counter = np.where(alive & up, k_counter + 1,

@@ -60,6 +60,9 @@ class ObservationEpoch:
     cn0_db_hz: np.ndarray             # [C] float64
 
 
+_HIST_KEYS = ("t", "tow", "dop", "ph", "cn0")
+
+
 class ObservablesEngine:
     def __init__(self, conf: ObsConf, n_channels: int):
         self.conf = conf
@@ -67,8 +70,8 @@ class ObservablesEngine:
         self.tick_step = int(round(conf.fs * conf.interval_ms / 1000.0))
         self.next_tick = self.tick_step
         self.t_rx_tow_ms: float | None = None
-        # per-channel epoch history (parallel deques as numpy-backed lists)
-        self.hist = [dict(t=[], tow=[], dop=[], ph=[], cn0=[])
+        # per-channel epoch history: numpy arrays, bulk-appended per chunk
+        self.hist = [{k: np.empty(0) for k in _HIST_KEYS}
                      for _ in range(n_channels)]
         # Hatch filter state
         self._sm_last_pr = np.zeros(n_channels)
@@ -77,7 +80,7 @@ class ObservablesEngine:
 
     def reset_channel(self, c: int) -> None:
         """Clear a channel's history (satellite reassignment)."""
-        self.hist[c] = dict(t=[], tow=[], dop=[], ph=[], cn0=[])
+        self.hist[c] = {k: np.empty(0) for k in _HIST_KEYS}
         self._sm_lock[c] = False
 
     def push_epochs(self, track_outs: dict, tlm_outs,
@@ -86,82 +89,100 @@ class ObservablesEngine:
         + telemetry).  `channel_offset` maps a signal chain's local channel
         axis into this engine's global channel space (the reference wires
         every per-signal channel group into the one hybrid_observables
-        block the same way)."""
-        t_len = track_outs["prompt"].shape[0]
-        sc = track_outs["sample_counter"].astype(np.float64)
-        cps = track_outs["code_phase_samples"].astype(np.float64)
-        dop = track_outs["carrier_doppler_hz"].astype(np.float64)
-        ph = track_outs["acc_phase_cycles"].astype(np.float64)
-        cn0 = track_outs["cn0_db_hz"].astype(np.float64)
-        valid = track_outs["valid"] & tlm_outs.tow_valid
-        tow = tlm_outs.tow_at_epoch_ms
+        block the same way).  Batched NumPy throughout — no per-epoch
+        Python work."""
+        sc = np.asarray(track_outs["sample_counter"], np.float64)
+        cps = np.asarray(track_outs["code_phase_samples"], np.float64)
+        t_all = (sc - cps) / self.conf.fs
+        cols = dict(
+            t=t_all,
+            tow=np.asarray(tlm_outs.tow_at_epoch_ms, np.float64),
+            dop=np.asarray(track_outs["carrier_doppler_hz"], np.float64),
+            ph=np.asarray(track_outs["acc_phase_cycles"], np.float64),
+            cn0=np.asarray(track_outs["cn0_db_hz"], np.float64))
+        valid = np.asarray(track_outs["valid"], bool) & tlm_outs.tow_valid
+        keep = self.conf.history_len
         for c in range(valid.shape[1]):
+            m = valid[:, c]
+            if not m.any():
+                continue
             h = self.hist[channel_offset + c]
-            for e in range(t_len):
-                if not valid[e, c]:
-                    continue
-                h["t"].append((sc[e, c] - cps[e, c]) / self.conf.fs)
-                h["tow"].append(tow[e, c])
-                h["dop"].append(dop[e, c])
-                h["ph"].append(ph[e, c])
-                h["cn0"].append(cn0[e, c])
-            keep = self.conf.history_len
-            for k in h:
-                if len(h[k]) > keep:
-                    del h[k][: len(h[k]) - keep]
+            for k in _HIST_KEYS:
+                arr = np.concatenate([h[k], cols[k][m, c]])
+                h[k] = arr[-keep:] if len(arr) > keep else arr
 
     def pull_ticks(self, up_to_sample: int) -> list[ObservationEpoch]:
         """Emit every complete observable epoch with tick sample <=
         up_to_sample (call after push_epochs).  The common receiver clock
         advances by the interval on EVERY tick once set — whether or not an
         epoch forms — exactly like the reference's sample-counter-driven
-        update_TOW (hybrid_observables_gs.cc:496-534)."""
+        update_TOW (hybrid_observables_gs.cc:496-534).
+
+        Interpolation of every (tick, channel) pair is vectorized
+        (searchsorted over the whole tick batch per channel); only the
+        sequential receiver-clock bookkeeping runs per tick."""
+        n_ticks = max(int((up_to_sample - 2 * self.tick_step
+                           - self.next_tick) // self.tick_step) + 1, 0)
+        if n_ticks == 0:
+            return []
+        ticks = self.next_tick + self.tick_step * np.arange(n_ticks)
+        self.next_tick = int(ticks[-1]) + self.tick_step
+        itow, idop, iph, icn0, ivalid = self._interp_all(
+            ticks / self.conf.fs)
         out = []
-        while self.next_tick + 2 * self.tick_step <= up_to_sample:
+        for k in range(n_ticks):
             if self.t_rx_tow_ms is not None:
                 self.t_rx_tow_ms += float(self.conf.interval_ms)
                 if self.t_rx_tow_ms >= constants.GPS_TOW_MAX_MS:
                     self.t_rx_tow_ms %= constants.GPS_TOW_MAX_MS
-            epoch = self._form_epoch(self.next_tick)
-            self.next_tick += self.tick_step
+            epoch = self._form_epoch(int(ticks[k]), ivalid[:, k],
+                                     itow[:, k], idop[:, k], iph[:, k],
+                                     icn0[:, k])
             if epoch is not None:
                 out.append(epoch)
         return out
 
     # -- internals ----------------------------------------------------------
-    def _interp(self, c: int, t_rx_s: float):
-        h = self.hist[c]
-        if len(h["t"]) < 2:
-            return None
-        t = np.asarray(h["t"])
-        i = int(np.searchsorted(t, t_rx_s))
-        if i == 0 or i >= len(t):
-            return None
-        t1, t2 = t[i - 1], t[i]
-        if not (t1 <= t_rx_s <= t2) or (t2 - t1) > 0.1:
-            return None
-        f = (t_rx_s - t1) / (t2 - t1)
-        tow1, tow2 = h["tow"][i - 1], h["tow"][i]
-        dtow = tow2 - tow1
-        if dtow <= 0:  # week rollover (hybrid_observables_gs.cc:453-461)
-            dtow += constants.GPS_TOW_MAX_MS
-        return (tow1 + dtow * f,
-                h["dop"][i - 1] + (h["dop"][i] - h["dop"][i - 1]) * f,
-                h["ph"][i - 1] + (h["ph"][i] - h["ph"][i - 1]) * f,
-                h["cn0"][i])
-
-    def _form_epoch(self, tick_sample: int):
-        t_rx_s = tick_sample / self.conf.fs
-        valid = np.zeros(self.n, bool)
-        tow = np.full(self.n, np.nan)
-        dop = np.zeros(self.n)
-        ph = np.zeros(self.n)
-        cn0 = np.zeros(self.n)
+    def _interp_all(self, t_rx_s: np.ndarray):
+        """Linear interpolation of every channel's history to every tick
+        time (interp_trk_obs, hybrid_observables_gs.cc:387-482), batched
+        over ticks: returns [C, K] arrays (tow, dop, ph, cn0, valid)."""
+        k = len(t_rx_s)
+        tow = np.full((self.n, k), np.nan)
+        dop = np.zeros((self.n, k))
+        ph = np.zeros((self.n, k))
+        cn0 = np.zeros((self.n, k))
+        valid = np.zeros((self.n, k), bool)
         for c in range(self.n):
-            r = self._interp(c, t_rx_s)
-            if r is None:
+            h = self.hist[c]
+            t = h["t"]
+            if len(t) < 2:
                 continue
-            valid[c], (tow[c], dop[c], ph[c], cn0[c]) = True, r
+            i = np.searchsorted(t, t_rx_s)
+            ok = (i > 0) & (i < len(t))
+            ii = np.clip(i, 1, len(t) - 1)
+            t1, t2 = t[ii - 1], t[ii]
+            ok &= (t1 <= t_rx_s) & (t_rx_s <= t2) & ((t2 - t1) <= 0.1)
+            f = (t_rx_s - t1) / np.maximum(t2 - t1, 1e-12)
+            dtow = h["tow"][ii] - h["tow"][ii - 1]
+            # week rollover (hybrid_observables_gs.cc:453-461)
+            dtow = np.where(dtow <= 0, dtow + constants.GPS_TOW_MAX_MS,
+                            dtow)
+            tow[c] = h["tow"][ii - 1] + dtow * f
+            dop[c] = h["dop"][ii - 1] + (h["dop"][ii] - h["dop"][ii - 1]) * f
+            ph[c] = h["ph"][ii - 1] + (h["ph"][ii] - h["ph"][ii - 1]) * f
+            cn0[c] = h["cn0"][ii]
+            valid[c] = ok
+        return tow, dop, ph, cn0, valid
+
+    def _form_epoch(self, tick_sample: int, valid, tow, dop, ph, cn0):
+        valid = valid.copy()
+        tow = np.where(valid, tow, np.nan)
+        dop = np.where(valid, dop, 0.0)
+        ph = np.where(valid, ph, 0.0)
+        cn0 = np.where(valid, cn0, 0.0)
+        if not valid.any():
+            return None
         if not valid.any():
             return None
         # first-fix receiver TOW initialization (update_TOW); afterwards the

@@ -458,7 +458,8 @@ class Receiver:
                         rt.acq_engines[prns_search] = acq_eng
                     need = acq_eng.n_samples_needed
                     if cursor + need <= len(x):
-                        res = acq_eng.acquire(x[cursor:cursor + need],
+                        # device-side slice: no host round-trip per search
+                        res = acq_eng.acquire(x_dev[cursor:cursor + need],
                                               samplestamp=cursor)
                         for k, c in enumerate(acquiring):
                             mgr.on_acq_result(c, bool(res.detected[k]),
@@ -501,7 +502,7 @@ class Receiver:
                                     channel_offset=rt.offset)
 
                 # --- loss-of-lock events -----------------------------------
-                lost = np.asarray(rt.trk.state.lock_lost)
+                lost = rt.trk.lock_lost_host
                 for c in tracking:
                     if lost[c]:
                         mgr.on_tracking_lost(c)

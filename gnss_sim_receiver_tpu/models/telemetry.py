@@ -25,6 +25,36 @@ CODES_PER_BIT = 20
 E1B_EPOCH_MS = 4.0   # one 250-sps INAV symbol per 4 ms E1B code epoch
 
 
+def _collect_column(st, prompts_col, valid_col) -> tuple:
+    """Vectorized per-epoch collection for one channel: returns (pi, base,
+    v) — the valid epochs' prompt-I values in order (float64), the batch's
+    global base epoch index, and the validity mask — while advancing
+    st.epoch_count and latching st.symbol_base on the first valid epoch.
+    Replaces the per-epoch Python loop (1 kHz x channels) with batched
+    NumPy."""
+    v = np.asarray(valid_col, bool)
+    base = st.epoch_count
+    st.epoch_count = base + len(v)
+    if not v.any():
+        return np.empty(0, np.float64), base, v
+    if st.symbol_base < 0:
+        st.symbol_base = base + int(np.argmax(v))
+    pi = np.real(np.asarray(prompts_col))[v].astype(np.float64)
+    return pi, base, v
+
+
+def _stamp_tow_column(tow_col, v, base, st, epoch_ms: float,
+                      after_anchor: bool) -> None:
+    """Vectorized TOW stamping: tow_col[e] = anchor + (idx+1-anchor_epoch)
+    * epoch_ms for valid epochs (optionally only at/after the anchor)."""
+    if st.anchor_epoch is None:
+        return
+    idx = base + np.arange(len(v))
+    m = v if not after_anchor else (v & (idx >= st.anchor_epoch))
+    tow_col[m] = (st.anchor_tow_ms
+                  + (idx[m] + 1 - st.anchor_epoch) * epoch_ms)
+
+
 @dataclasses.dataclass
 class _ChannelTlmState:
     prompts_i: list = dataclasses.field(default_factory=list)
@@ -79,32 +109,32 @@ class TelemetryDecoder:
         for c in range(n_ch):
             st = self.ch[c]
             base = st.epoch_count
-            for e in range(t_len):
-                if not valid[e, c]:
-                    st.epoch_count += 1
-                    continue
-                pi = float(prompts[e, c].real)
-                s = 1.0 if pi >= 0 else -1.0
-                idx = st.epoch_count
-                if st.last_sign != 0.0 and s != st.last_sign:
-                    st.transition_hist[idx % CODES_PER_BIT] += 1
-                st.last_sign = s
+            v = np.asarray(valid[:, c], bool)
+            vi = np.flatnonzero(v)
+            st.epoch_count = base + t_len
+            if vi.size:
+                pi = np.real(np.asarray(prompts[:, c]))[vi].astype(
+                    np.float64)
+                s = np.where(pi >= 0.0, 1.0, -1.0)
+                prev = np.concatenate(([st.last_sign], s[:-1]))
+                tr = (prev != 0.0) & (s != prev)
+                np.add.at(st.transition_hist,
+                          (base + vi[tr]) % CODES_PER_BIT, 1)
+                st.last_sign = float(s[-1])
                 if not st.prompts_i:
-                    st.prompt_base = idx
-                st.prompts_i.append(pi)
-                st.epoch_count += 1
-                st.n_seen += 1
-                if st.bit_phase is None and st.n_seen >= 200:
-                    self._try_bit_sync(st)
+                    st.prompt_base = base + int(vi[0])
+                st.prompts_i.extend(pi.tolist())
+                st.n_seen += int(vi.size)
+            if st.bit_phase is None and st.n_seen >= 200:
+                self._try_bit_sync(st)
             if st.bit_phase is not None:
                 self._emit_bits(st, c, new_eph)
-            # stamp TOW for this batch
+            # stamp TOW for this batch (only at/after the anchor subframe)
             if st.anchor_epoch is not None:
-                for e in range(t_len):
-                    idx = base + e
-                    if valid[e, c] and idx >= st.anchor_epoch:
-                        tow[e, c] = (st.anchor_tow_ms
-                                     + (idx + 1 - st.anchor_epoch) * 1.0)
+                idx = base + np.arange(t_len)
+                m = v & (idx >= st.anchor_epoch)
+                tow[m, c] = (st.anchor_tow_ms
+                             + (idx[m] + 1 - st.anchor_epoch) * 1.0)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=new_eph)
@@ -131,11 +161,11 @@ class TelemetryDecoder:
         nbits_avail = (len(st.prompts_i) - phase) // CODES_PER_BIT
         if nbits_avail <= st.n_bits_emitted:
             return
-        bits = []
-        for k in range(st.n_bits_emitted, nbits_avail):
-            s0 = phase + k * CODES_PER_BIT
-            acc = sum(st.prompts_i[s0:s0 + CODES_PER_BIT])
-            bits.append(1 if acc >= 0 else 0)
+        seg = np.asarray(st.prompts_i[phase + st.n_bits_emitted
+                                      * CODES_PER_BIT:
+                                      phase + nbits_avail * CODES_PER_BIT])
+        acc = seg.reshape(-1, CODES_PER_BIT).sum(axis=1)
+        bits = (acc >= 0).astype(np.int64).tolist()
         st.n_bits_emitted = nbits_avail
         for ev in st.frame.push_bits(bits):
             sf_start_epoch = (st.prompt_base + phase
@@ -212,28 +242,14 @@ class GalileoE1bTelemetryDecoder:
         new_eph = []
         for c in range(n_ch):
             st = self.ch[c]
-            base = st.epoch_count
-            soft = []
-            for e in range(t_len):
-                if not valid[e, c]:
-                    st.epoch_count += 1
-                    continue
-                if st.symbol_base < 0:
-                    st.symbol_base = st.epoch_count
-                soft.append(float(prompts[e, c].real))
-                st.epoch_count += 1
-            for ev in st.decoder.push_symbols(soft):
+            pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
+            for ev in st.decoder.push_symbols(pi.tolist()):
                 if not ev.crc_ok:
                     continue
                 self._handle_word(st, c, ev, new_eph,
                                   words_to_galileo_ephemeris)
-            if st.anchor_epoch is not None:
-                for e in range(t_len):
-                    idx = base + e
-                    if valid[e, c] and idx >= st.anchor_epoch:
-                        tow[e, c] = (st.anchor_tow_ms
-                                     + (idx + 1 - st.anchor_epoch)
-                                     * E1B_EPOCH_MS)
+            _stamp_tow_column(tow[:, c], v, base, st, E1B_EPOCH_MS,
+                              after_anchor=True)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=new_eph)
@@ -313,12 +329,12 @@ def _fold_secondary(st: _CnavChannelTlmState, pattern: np.ndarray,
         st.symbol_base += best
         st.pend = list(st.nh_buf[best:])
         st.nh_buf = []
-    out = []
-    while len(st.pend) >= n_cs:
-        grp = np.asarray(st.pend[:n_cs], np.float64) * pattern
-        out.append(float(grp.sum()))
-        del st.pend[:n_cs]
-    return out
+    n_av = len(st.pend) // n_cs
+    if not n_av:
+        return []
+    arr = np.asarray(st.pend[:n_av * n_cs], np.float64).reshape(n_av, n_cs)
+    del st.pend[:n_av * n_cs]
+    return (arr * pattern).sum(axis=1).tolist()
 
 
 class GpsCnavTelemetryDecoder:
@@ -364,15 +380,8 @@ class GpsCnavTelemetryDecoder:
         epoch_ms = self.EPOCH_MS[self.signal]
         for c in range(n_ch):
             st = self.ch[c]
-            base = st.epoch_count
-            for e in range(t_len):
-                if not valid[e, c]:
-                    st.epoch_count += 1
-                    continue
-                if st.symbol_base < 0:
-                    st.symbol_base = st.epoch_count
-                st.pend.append(float(prompts[e, c].real))
-                st.epoch_count += 1
+            pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
+            st.pend.extend(pi.tolist())
             if self.signal == "L5":
                 soft = _fold_secondary(st, self._nh)
             else:
@@ -386,13 +395,8 @@ class GpsCnavTelemetryDecoder:
                                    + (ev.start_symbol + 600) * epb)
                 st.anchor_tow_ms = ev.tow_s * 1000.0
                 self._try_ephemeris(st, c, new_eph, messages_to_ephemeris)
-            if st.anchor_epoch is not None:
-                for e in range(t_len):
-                    idx = base + e
-                    if valid[e, c]:
-                        tow[e, c] = (st.anchor_tow_ms
-                                     + (idx + 1 - st.anchor_epoch)
-                                     * epoch_ms)
+            _stamp_tow_column(tow[:, c], v, base, st, epoch_ms,
+                              after_anchor=False)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=new_eph)
@@ -459,15 +463,8 @@ class GalileoE5aTelemetryDecoder:
             st = self.ch[c]
             cs = self._cs[self.prns[c]] if self.prns[c] in self._cs \
                 else np.ones(20)
-            base = st.epoch_count
-            for e in range(t_len):
-                if not valid[e, c]:
-                    st.epoch_count += 1
-                    continue
-                if st.symbol_base < 0:
-                    st.symbol_base = st.epoch_count
-                st.pend.append(float(prompts[e, c].real))
-                st.epoch_count += 1
+            pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
+            st.pend.extend(pi.tolist())
             for ev in st.decoder.push_symbols(self._symbols(st, cs)):
                 if not ev.crc_ok or ev.word_type not in (1, 2, 3, 4):
                     continue
@@ -479,12 +476,8 @@ class GalileoE5aTelemetryDecoder:
                 st.anchor_tow_ms = ev.fields["tow"] * 1000.0
                 self._try_ephemeris(st, c, new_eph,
                                     fnav_words_to_ephemeris)
-            if st.anchor_epoch is not None:
-                for e in range(t_len):
-                    idx = base + e
-                    if valid[e, c]:
-                        tow[e, c] = (st.anchor_tow_ms
-                                     + (idx + 1 - st.anchor_epoch) * 1.0)
+            _stamp_tow_column(tow[:, c], v, base, st, 1.0,
+                              after_anchor=False)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=new_eph)
@@ -553,15 +546,8 @@ class GlonassTelemetryDecoder:
         new_eph = []
         for c in range(n_ch):
             st = self.ch[c]
-            base = st.epoch_count
-            for e in range(t_len):
-                if not valid[e, c]:
-                    st.epoch_count += 1
-                    continue
-                if st.symbol_base < 0:
-                    st.symbol_base = st.epoch_count
-                st.pend.append(float(prompts[e, c].real))
-                st.epoch_count += 1
+            pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
+            st.pend.extend(pi.tolist())
             for ev in st.decoder.push_symbols(self._symbols(st)):
                 if not ev.kx_ok or ev.string_id not in (1, 2, 3, 4, 5):
                     continue
@@ -574,12 +560,8 @@ class GlonassTelemetryDecoder:
                                         + ev.fields["tk_s"]) * 1000.0
                 self._try_ephemeris(st, c, new_eph,
                                     strings_to_glonass_ephemeris)
-            if st.anchor_epoch is not None:
-                for e in range(t_len):
-                    idx = base + e
-                    if valid[e, c]:
-                        tow[e, c] = (st.anchor_tow_ms
-                                     + (idx + 1 - st.anchor_epoch) * 1.0)
+            _stamp_tow_column(tow[:, c], v, base, st, 1.0,
+                              after_anchor=False)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=new_eph)
@@ -638,15 +620,8 @@ class BeidouB1iTelemetryDecoder:
         new_eph = []
         for c in range(n_ch):
             st = self.ch[c]
-            base = st.epoch_count
-            for e in range(t_len):
-                if not valid[e, c]:
-                    st.epoch_count += 1
-                    continue
-                if st.symbol_base < 0:
-                    st.symbol_base = st.epoch_count
-                st.pend.append(float(prompts[e, c].real))
-                st.epoch_count += 1
+            pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
+            st.pend.extend(pi.tolist())
             soft_bits = _fold_secondary(st, self._nh, margin=1.2,
                                         min_symbols=10)
             for ev in st.decoder.push_bits(soft_bits):
@@ -659,12 +634,8 @@ class BeidouB1iTelemetryDecoder:
                 st.anchor_tow_ms = ev.fields["sow"] * 1000.0
                 self._try_ephemeris(st, c, new_eph,
                                     subframes_to_beidou_ephemeris)
-            if st.anchor_epoch is not None:
-                for e in range(t_len):
-                    idx = base + e
-                    if valid[e, c]:
-                        tow[e, c] = (st.anchor_tow_ms
-                                     + (idx + 1 - st.anchor_epoch) * 1.0)
+            _stamp_tow_column(tow[:, c], v, base, st, 1.0,
+                              after_anchor=False)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=new_eph)
@@ -729,15 +700,8 @@ class GalileoE5bTelemetryDecoder:
         new_eph = []
         for c in range(n_ch):
             st = self.ch[c]
-            base = st.epoch_count
-            for e in range(t_len):
-                if not valid[e, c]:
-                    st.epoch_count += 1
-                    continue
-                if st.symbol_base < 0:
-                    st.symbol_base = st.epoch_count
-                st.pend.append(float(prompts[e, c].real))
-                st.epoch_count += 1
+            pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
+            st.pend.extend(pi.tolist())
             symbols = _fold_secondary(st, self._cs, margin=1.15,
                                       min_symbols=60)
             for ev in st.decoder.push_symbols(symbols):
@@ -745,13 +709,8 @@ class GalileoE5bTelemetryDecoder:
                     continue
                 self._handle_word(st, c, ev, new_eph,
                                   words_to_galileo_ephemeris)
-            if st.anchor_epoch is not None:
-                for e in range(t_len):
-                    idx = base + e
-                    if valid[e, c] and idx >= st.anchor_epoch:
-                        tow[e, c] = (st.anchor_tow_ms
-                                     + (idx + 1 - st.anchor_epoch)
-                                     * self.EPOCH_MS)
+            _stamp_tow_column(tow[:, c], v, base, st, self.EPOCH_MS,
+                              after_anchor=True)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=new_eph)

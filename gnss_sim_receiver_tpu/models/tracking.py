@@ -616,6 +616,47 @@ def track_chunk(conf: TrackingConf, n_epochs: int, codes: jax.Array,
     return jax.lax.scan(body, state, None, length=n_epochs)
 
 
+# keys of the float32 part of the packed transfer, fixed order (prompt is
+# split into real/imag rows because the transport may not carry complex64)
+_PACK_F32 = ("prompt_re", "prompt_im", "early_mag", "late_mag",
+             "carrier_doppler_hz", "code_freq_cps", "rem_code_phase_chips",
+             "acc_phase_cycles", "code_phase_samples", "cn0_db_hz", "valid")
+# int32 part: per-epoch sample bookkeeping + per-channel scan-state meta
+_PACK_I32 = ("pos_start", "n_samples")
+
+
+@partial(jax.jit, static_argnames=("conf", "n_epochs"))
+def track_chunk_packed(conf: TrackingConf, n_epochs: int, codes: jax.Array,
+                       taps: jax.Array, x_chunk: jax.Array,
+                       state: TrackState):
+    """track_chunk + on-device packing of every output the host needs into
+    exactly TWO dense arrays, so one chunk costs two device->host
+    transfers instead of ~15.  On a remote-attached TPU each transfer has
+    tens of ms of latency, which dominated the end-to-end receiver before
+    this (the device scan itself is ~ms).
+
+    Returns (new_state, f32 [11, T, C], i32 flat [2*T*C + 3*C]); the i32
+    tail carries new_state.pos / active / lock_lost so the host FSM never
+    issues separate scalar pulls.
+    """
+    new_state, outs = track_chunk(conf, n_epochs, codes, taps, x_chunk,
+                                  state)
+    f32 = jnp.stack([
+        jnp.real(outs["prompt"]), jnp.imag(outs["prompt"]),
+        outs["early_mag"], outs["late_mag"],
+        outs["carrier_doppler_hz"], outs["code_freq_cps"],
+        outs["rem_code_phase_chips"], outs["acc_phase_cycles"],
+        outs["code_phase_samples"], outs["cn0_db_hz"],
+        outs["valid"].astype(jnp.float32)])
+    i32 = jnp.concatenate([
+        outs["pos_start"].astype(jnp.int32).ravel(),
+        outs["n_samples"].astype(jnp.int32).ravel(),
+        new_state.pos.astype(jnp.int32),
+        new_state.active.astype(jnp.int32),
+        new_state.lock_lost.astype(jnp.int32)])
+    return new_state, f32, i32
+
+
 class TrackingEngine:
     """Host-side wrapper: absolute sample bookkeeping + acq handoff.
 
@@ -648,6 +689,10 @@ class TrackingEngine:
         self.taps = jnp.asarray(np.array(tap_list, np.float32))
         self.state = _init_state(self.n_channels)
         self.abs_start = np.zeros(self.n_channels, np.int64)  # abs sample of pos==0
+        # host mirrors of the scan-state flags, refreshed from the packed
+        # per-chunk transfer — the FSM never pulls device scalars
+        self.active_host = np.zeros(self.n_channels, bool)
+        self.lock_lost_host = np.zeros(self.n_channels, bool)
 
     def set_channel_prn(self, ch: int, prn: int) -> None:
         """Re-point a channel at a different satellite (channel/satellite
@@ -661,6 +706,7 @@ class TrackingEngine:
     def stop_channel(self, ch: int) -> None:
         self.state = self.state._replace(
             active=self.state.active.at[ch].set(False))
+        self.active_host[ch] = False
 
     def start_tracking(self, ch: int, doppler_hz: float,
                        abs_code_start_sample: int) -> None:
@@ -673,16 +719,18 @@ class TrackingEngine:
         self.state = _arm_channel(self.state, ch, float(doppler_hz),
                                   float(code_freq0))
         self.abs_start[ch] = int(abs_code_start_sample)
+        self.active_host[ch] = True
+        self.lock_lost_host[ch] = False
 
 
     def max_position(self) -> int:
         """Largest absolute sample position over active channels (how far
-        into the stream the next epoch would read)."""
-        active = np.asarray(self.state.active)
+        into the stream the next epoch would read).  Uses the host
+        mirrors; state.pos is always rezeroed after a chunk."""
+        active = self.active_host
         if not active.any():
             return 0
-        pos = self.abs_start + np.asarray(self.state.pos, np.int64)
-        return int(pos[active].max())
+        return int(self.abs_start[active].max())
 
     def epochs_that_fit(self, stream_len: int) -> int:
         """How many epochs every active channel can run without reading
@@ -694,14 +742,17 @@ class TrackingEngine:
     def process(self, x: np.ndarray, x_abs_start: int, n_epochs: int):
         """Track `n_epochs` epochs using samples `x` (absolute start index
         `x_abs_start`).  Caller must supply enough samples:
-        max(pos) + n_epochs*nominal + block_size within x."""
-        active = np.asarray(self.state.active)
+        max(pos) + n_epochs*nominal + block_size within x.
+
+        The whole chunk costs TWO device->host transfers
+        (track_chunk_packed) — critical on remote-attached TPUs where each
+        transfer has tens of ms of latency."""
+        active = self.active_host
         if not active.any():
             raise RuntimeError("no active channels")
         # chunk-relative positions: channel c's pos is relative to
         # abs_start[c]; rebase everything onto x's indexing
-        rel = (self.abs_start - x_abs_start
-               + np.asarray(self.state.pos, np.int64))
+        rel = self.abs_start - x_abs_start
         if (rel[active] < 0).any():
             raise ValueError("sample array starts after a channel position")
         if int(rel.max()) + n_epochs * (self.conf.nominal_epoch_samples + 2) \
@@ -715,15 +766,25 @@ class TrackingEngine:
             raise ValueError(f"need >= {need} samples, got {len(x)}")
         state = self.state._replace(pos=jnp.asarray(rel, jnp.int32))
         x_dev = xfer.device_put_complex(x)
-        new_state, outs = track_chunk(self.conf, int(n_epochs), self.codes,
-                                      self.taps, x_dev, state)
+        new_state, f32, i32 = track_chunk_packed(
+            self.conf, int(n_epochs), self.codes, self.taps, x_dev, state)
+        fbuf = np.asarray(f32)                       # one transfer
+        ibuf = np.asarray(i32)                       # one transfer
+        t, c = int(n_epochs), self.n_channels
+        outs = {k: fbuf[i] for i, k in enumerate(_PACK_F32)}
+        outs["prompt"] = (outs.pop("prompt_re")
+                          + 1j * outs.pop("prompt_im")).astype(np.complex64)
+        outs["valid"] = outs["valid"] > 0.5
+        pos_start = ibuf[: t * c].reshape(t, c).astype(np.int64)
+        n_samples = ibuf[t * c: 2 * t * c].reshape(t, c).astype(np.int64)
+        new_pos = ibuf[2 * t * c: 2 * t * c + c].astype(np.int64)
+        self.active_host = ibuf[2 * t * c + c: 2 * t * c + 2 * c] > 0
+        self.lock_lost_host = ibuf[2 * t * c + 2 * c:] > 0
+        outs["pos_start"] = pos_start
+        outs["n_samples"] = n_samples
+        outs["sample_counter"] = pos_start + x_abs_start + n_samples
         # rebase back: abs position of next epoch start
-        new_pos = np.asarray(new_state.pos, np.int64) + x_abs_start
-        self.abs_start = new_pos
+        self.abs_start = new_pos + x_abs_start
         self.state = new_state._replace(
             pos=jnp.zeros(self.n_channels, jnp.int32))
-        outs = xfer.host_get_tree(outs)
-        outs["sample_counter"] = (np.asarray(outs["pos_start"], np.int64)
-                                  + x_abs_start
-                                  + np.asarray(outs["n_samples"], np.int64))
         return outs
