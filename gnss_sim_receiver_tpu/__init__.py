@@ -24,3 +24,30 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _setup_compilation_cache() -> None:
+    """Point JAX at an on-disk compilation cache so fresh processes skip
+    the 20-40 s XLA compiles of the receiver's jitted programs (the hot
+    shapes are stable across runs).  Opt-in with GNSS_TPU_COMPILE_CACHE=1:
+    remote-attached TPU plugins that cannot serialize executables hang on
+    the cache-write path, so this must not be the default there."""
+    if _os.environ.get("GNSS_TPU_COMPILE_CACHE", "0") != "1":
+        return
+    try:
+        import jax
+        path = _os.environ.get(
+            "GNSS_TPU_COMPILE_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache",
+                          "gnss_sim_receiver_tpu", "jax_cache"))
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:   # never let cache plumbing break the import
+        pass
+
+
+_setup_compilation_cache()

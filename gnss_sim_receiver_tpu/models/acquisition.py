@@ -16,7 +16,9 @@ Differences from the reference by design (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,6 +55,41 @@ class AcqConf:
     tong_init: int = 1               # Tong counter init (tong_init_val)
     tong_max: int = 2                # declare at this count (tong_max_val)
     tong_max_dwells: int = 10        # dismissal dwell cap (tong_max_dwells)
+
+
+@partial(jax.jit, static_argnames=("fs", "use_cfar", "spc",
+                                   "two_steps", "n_side", "step2"))
+def _acquire_fused(x_dwells, code_fft_conj, dopplers,
+                   fs, use_cfar, spc, two_steps, n_side, step2):
+    """Whole PCPS search in ONE dispatch and ONE packed pull: coarse grid +
+    detection statistic + optional step-two narrow-grid Doppler refinement
+    (pcps_acquisition.cc:698-758 make_2_steps) — returns a [4, C] float32
+    buffer (stat, doppler_hz, delay_idx, stat2).  On a remote-attached TPU
+    each eager op / pull costs an RTT, which dominated acquisition before
+    this.  (The dwell window is sliced host-side and uploaded: a
+    dynamic_slice with a traced start over the multi-Msample capture
+    compiles pathologically on TPU — minutes vs sub-second.)"""
+    m = x_dwells.shape[0]
+    x = x_dwells.astype(jnp.complex64)
+    grid = pcps.pcps_grid(x, code_fft_conj, dopplers, fs)
+    if use_cfar:
+        stat, dop_idx, del_idx = pcps.max_to_input_power_stat(
+            grid, jnp.float32(m))
+    else:
+        stat, dop_idx, del_idx = pcps.first_vs_second_peak_stat(grid, spc)
+    dop_hz = dopplers[dop_idx]
+    stat2 = jnp.zeros_like(stat)
+    if two_steps:
+        offs = ((jnp.arange(2 * n_side + 1) - n_side)
+                * jnp.float32(step2))
+        dops2 = dop_hz[:, None] + offs[None, :]
+        grid2 = pcps.pcps_grid_per_channel(x, code_fft_conj, dops2, fs)
+        stat2, dop2_idx, _ = pcps.max_to_input_power_stat(
+            grid2, jnp.float32(m))
+        dop_hz = jnp.take_along_axis(dops2, dop2_idx[:, None], axis=1)[:, 0]
+    return jnp.stack([stat.astype(jnp.float32), dop_hz.astype(jnp.float32),
+                      del_idx.astype(jnp.float32),
+                      stat2.astype(jnp.float32)])
 
 
 def _dwell_view(x, m: int, n: int):
@@ -146,6 +183,35 @@ class PcpsAcquisitionEngine:
             threshold=self.threshold,
             samplestamp=int(samplestamp),
         )
+
+    def acquire_from(self, x_host, start: int) -> AcqResults:
+        """Acquisition over capture window [start, start+n_samples_needed)
+        of the full HOST capture: the window is sliced host-side, uploaded
+        once, and the coarse grid + two-step refinement run in one fused
+        dispatch with one packed device->host pull.  Falls back to
+        `acquire` for the tong / fine_doppler variants."""
+        if self.conf.variant != "pcps":
+            return self.acquire(x_host[start:start + self.n_samples_needed],
+                                samplestamp=start)
+        conf = self.conf
+        m, n = conf.max_dwells, self.fft_size
+        x_dwells = _dwell_view(x_host[start:start + m * n], m, n)
+        buf = np.asarray(_acquire_fused(
+            x_dwells, self.code_fft_conj, self.dopplers,
+            fs=float(conf.fs_in),
+            use_cfar=bool(conf.use_cfar_algorithm),
+            spc=self.samples_per_chip,
+            two_steps=bool(conf.make_two_steps),
+            n_side=int(conf.num_doppler_bins_step2),
+            step2=float(conf.doppler_step2)))
+        stat = np.maximum(buf[0], buf[3]).astype(np.float64)
+        delay = buf[2].astype(np.float64)
+        if conf.bit_transition_flag:
+            delay = np.mod(delay, self.n_coherent)
+        return AcqResults(
+            detected=stat > self.threshold, test_stat=stat,
+            delay_samples=delay, doppler_hz=buf[1].astype(np.float64),
+            threshold=self.threshold, samplestamp=int(start))
 
     def _coarse(self, x_dwells):
         grid = pcps.pcps_grid(x_dwells, self.code_fft_conj, self.dopplers,

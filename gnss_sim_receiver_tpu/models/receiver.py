@@ -395,6 +395,9 @@ class Receiver:
         for spec in conf.all_chains():
             chains.append(_ChainRt(spec, n_total))
             n_total += spec.n_channels
+            # lean packed pulls (hot-path planes only) unless the caller
+            # wants the full diagnostic set
+            chains[-1].trk.full_outputs = bool(collect_track_outputs)
         obs_eng = ObservablesEngine(conf.obs, n_channels=n_total)
         ephemerides = dict(ephemerides or {})
         solutions = []
@@ -439,6 +442,11 @@ class Receiver:
         while any(rt.done < rt.total for rt in chains):
             tick_bounds = []      # per-chain "observables safe up to" sample
             progressed = False
+            staged = []           # (rt, tracking, n, in-flight chunk handle)
+            # ---- phase 1: per-chain FSM + device dispatch ------------------
+            # every chain's chunk is dispatched (and its device->host copy
+            # started) before ANY chunk is pulled, so the transfers of all
+            # chains overlap — one transfer latency per chunk, not per chain
             for rt in chains:
                 if rt.done >= rt.total:
                     continue
@@ -458,9 +466,8 @@ class Receiver:
                         rt.acq_engines[prns_search] = acq_eng
                     need = acq_eng.n_samples_needed
                     if cursor + need <= len(x):
-                        # device-side slice: no host round-trip per search
-                        res = acq_eng.acquire(x_dev[cursor:cursor + need],
-                                              samplestamp=cursor)
+                        # fused search: one dispatch, one packed pull
+                        res = acq_eng.acquire_from(x, cursor)
                         for k, c in enumerate(acquiring):
                             mgr.on_acq_result(c, bool(res.detected[k]),
                                               float(res.doppler_hz[k]))
@@ -485,12 +492,23 @@ class Receiver:
                 # many epochs as fit before the stream end
                 n = min(chunk_n, rt.total - rt.done,
                         rt.trk.epochs_that_fit(len(x)))
+                if 0 < n < chunk_n:
+                    # quantize tail chunks to powers of two: a bounded set
+                    # of jitted shapes (each n_epochs is a static arg), so
+                    # arbitrary tails never trigger fresh XLA compiles
+                    n = 1 << (n.bit_length() - 1)
                 if n <= 0:
                     rt.done = rt.total   # stream exhausted for this chain
                     continue
                 rt.done += n
                 progressed = True
-                outs = rt.trk.process(x_dev, 0, n)
+                staged.append((rt, tracking, n,
+                               rt.trk.process_begin(x_dev, 0, n)))
+
+            # ---- phase 2: pull + host-process every chain's chunk ----------
+            for rt, tracking, n, handle in staged:
+                spec = rt.spec
+                outs = rt.trk.process_end(handle)
                 for c in range(spec.n_channels):
                     rt.epoch_base[c] += n
                 if collected is not None:
@@ -505,7 +523,7 @@ class Receiver:
                 lost = rt.trk.lock_lost_host
                 for c in tracking:
                     if lost[c]:
-                        mgr.on_tracking_lost(c)
+                        rt.mgr.on_tracking_lost(c)
                         rt.trk.stop_channel(c)
 
                 valid_cols = np.asarray(outs["valid"][-1])

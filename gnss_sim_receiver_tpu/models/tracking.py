@@ -617,44 +617,56 @@ def track_chunk(conf: TrackingConf, n_epochs: int, codes: jax.Array,
 
 
 # keys of the float32 part of the packed transfer, fixed order (prompt is
-# split into real/imag rows because the transport may not carry complex64)
-_PACK_F32 = ("prompt_re", "prompt_im", "early_mag", "late_mag",
-             "carrier_doppler_hz", "code_freq_cps", "rem_code_phase_chips",
-             "acc_phase_cycles", "code_phase_samples", "cn0_db_hz", "valid")
+# split into real/imag rows because the transport may not carry complex64).
+# The lean set is what the steady-state host pipeline (telemetry +
+# observables + FSM) consumes; the full set adds the diagnostic planes for
+# dumps / monitors / collect_track_outputs.
+_PACK_F32_LEAN = ("prompt_re", "carrier_doppler_hz", "acc_phase_cycles",
+                  "code_phase_samples", "cn0_db_hz", "valid")
+_PACK_F32_FULL = _PACK_F32_LEAN + ("prompt_im", "early_mag", "late_mag",
+                                   "code_freq_cps", "rem_code_phase_chips")
 # int32 part: per-epoch sample bookkeeping + per-channel scan-state meta
 _PACK_I32 = ("pos_start", "n_samples")
 
 
-@partial(jax.jit, static_argnames=("conf", "n_epochs"))
+@partial(jax.jit, static_argnames=("conf", "n_epochs", "full_outputs"))
 def track_chunk_packed(conf: TrackingConf, n_epochs: int, codes: jax.Array,
                        taps: jax.Array, x_chunk: jax.Array,
-                       state: TrackState):
+                       state: TrackState, full_outputs: bool = True):
     """track_chunk + on-device packing of every output the host needs into
     exactly TWO dense arrays, so one chunk costs two device->host
     transfers instead of ~15.  On a remote-attached TPU each transfer has
     tens of ms of latency, which dominated the end-to-end receiver before
     this (the device scan itself is ~ms).
 
-    Returns (new_state, f32 [11, T, C], i32 flat [2*T*C + 3*C]); the i32
-    tail carries new_state.pos / active / lock_lost so the host FSM never
-    issues separate scalar pulls.
+    Returns (new_state, buf) where buf is ONE flat int32 array:
+    the 11 float32 output planes bitcast to int32 ([11*T*C]), then
+    pos_start/n_samples ([2*T*C]) and new_state.pos / active / lock_lost
+    ([3*C]) — so the host FSM reads everything in a single pull.
     """
     new_state, outs = track_chunk(conf, n_epochs, codes, taps, x_chunk,
                                   state)
-    f32 = jnp.stack([
-        jnp.real(outs["prompt"]), jnp.imag(outs["prompt"]),
-        outs["early_mag"], outs["late_mag"],
-        outs["carrier_doppler_hz"], outs["code_freq_cps"],
-        outs["rem_code_phase_chips"], outs["acc_phase_cycles"],
-        outs["code_phase_samples"], outs["cn0_db_hz"],
-        outs["valid"].astype(jnp.float32)])
-    i32 = jnp.concatenate([
+    planes = dict(
+        prompt_re=jnp.real(outs["prompt"]),
+        prompt_im=jnp.imag(outs["prompt"]),
+        early_mag=outs["early_mag"], late_mag=outs["late_mag"],
+        carrier_doppler_hz=outs["carrier_doppler_hz"],
+        code_freq_cps=outs["code_freq_cps"],
+        rem_code_phase_chips=outs["rem_code_phase_chips"],
+        acc_phase_cycles=outs["acc_phase_cycles"],
+        code_phase_samples=outs["code_phase_samples"],
+        cn0_db_hz=outs["cn0_db_hz"],
+        valid=outs["valid"].astype(jnp.float32))
+    keys = _PACK_F32_FULL if full_outputs else _PACK_F32_LEAN
+    f32 = jnp.stack([planes[k] for k in keys])
+    buf = jnp.concatenate([
+        jax.lax.bitcast_convert_type(f32, jnp.int32).ravel(),
         outs["pos_start"].astype(jnp.int32).ravel(),
         outs["n_samples"].astype(jnp.int32).ravel(),
         new_state.pos.astype(jnp.int32),
         new_state.active.astype(jnp.int32),
         new_state.lock_lost.astype(jnp.int32)])
-    return new_state, f32, i32
+    return new_state, buf
 
 
 class TrackingEngine:
@@ -688,6 +700,11 @@ class TrackingEngine:
             tap_list = [+d / 2, 0.0, -d / 2]
         self.taps = jnp.asarray(np.array(tap_list, np.float32))
         self.state = _init_state(self.n_channels)
+        # full diagnostic output planes (prompt Q, early/late, code freq)
+        # in the packed pull; the receiver enables this only for
+        # collect_track_outputs / dump / monitor consumers
+        self.full_outputs = True
+        self._pos0 = jnp.zeros(self.n_channels, jnp.int32)  # cached rezero
         self.abs_start = np.zeros(self.n_channels, np.int64)  # abs sample of pos==0
         # host mirrors of the scan-state flags, refreshed from the packed
         # per-chunk transfer — the FSM never pulls device scalars
@@ -744,9 +761,19 @@ class TrackingEngine:
         `x_abs_start`).  Caller must supply enough samples:
         max(pos) + n_epochs*nominal + block_size within x.
 
-        The whole chunk costs TWO device->host transfers
+        The whole chunk costs ONE device->host transfer
         (track_chunk_packed) — critical on remote-attached TPUs where each
         transfer has tens of ms of latency."""
+        return self.process_end(self.process_begin(x, x_abs_start,
+                                                   n_epochs))
+
+    def process_begin(self, x: np.ndarray, x_abs_start: int,
+                      n_epochs: int):
+        """Dispatch the chunk's device scan and START its async
+        device->host copy; returns an opaque handle for process_end.
+        Several engines' chunks can be in flight at once (their copies
+        overlap on the transport), which the multi-chain receiver uses to
+        pay ~one transfer latency per chunk instead of one per chain."""
         active = self.active_host
         if not active.any():
             raise RuntimeError("no active channels")
@@ -766,14 +793,29 @@ class TrackingEngine:
             raise ValueError(f"need >= {need} samples, got {len(x)}")
         state = self.state._replace(pos=jnp.asarray(rel, jnp.int32))
         x_dev = xfer.device_put_complex(x)
-        new_state, f32, i32 = track_chunk_packed(
-            self.conf, int(n_epochs), self.codes, self.taps, x_dev, state)
-        fbuf = np.asarray(f32)                       # one transfer
-        ibuf = np.asarray(i32)                       # one transfer
+        new_state, buf = track_chunk_packed(
+            self.conf, int(n_epochs), self.codes, self.taps, x_dev, state,
+            full_outputs=self.full_outputs)
+        try:
+            buf.copy_to_host_async()
+        except Exception:   # transport without async copy: asarray blocks
+            pass
+        return (new_state, buf, int(x_abs_start), int(n_epochs))
+
+    def process_end(self, handle):
+        """Materialize a process_begin handle: one blocking pull, then the
+        host-side unpacking/bookkeeping."""
+        new_state, buf, x_abs_start, n_epochs = handle
         t, c = int(n_epochs), self.n_channels
-        outs = {k: fbuf[i] for i, k in enumerate(_PACK_F32)}
-        outs["prompt"] = (outs.pop("prompt_re")
-                          + 1j * outs.pop("prompt_im")).astype(np.complex64)
+        raw = np.ascontiguousarray(np.asarray(buf))  # THE one transfer
+        keys = _PACK_F32_FULL if self.full_outputs else _PACK_F32_LEAN
+        nf = len(keys)
+        fbuf = raw[: nf * t * c].view(np.float32).reshape(nf, t, c)
+        ibuf = raw[nf * t * c:]
+        outs = {k: fbuf[i] for i, k in enumerate(keys)}
+        im = outs.pop("prompt_im") if self.full_outputs else 0.0
+        outs["prompt"] = (outs.pop("prompt_re") + 1j * im
+                          ).astype(np.complex64)
         outs["valid"] = outs["valid"] > 0.5
         pos_start = ibuf[: t * c].reshape(t, c).astype(np.int64)
         n_samples = ibuf[t * c: 2 * t * c].reshape(t, c).astype(np.int64)
@@ -786,5 +828,5 @@ class TrackingEngine:
         # rebase back: abs position of next epoch start
         self.abs_start = new_pos + x_abs_start
         self.state = new_state._replace(
-            pos=jnp.zeros(self.n_channels, jnp.int32))
+            pos=self._pos0)
         return outs
