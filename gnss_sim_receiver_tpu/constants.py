@@ -48,6 +48,12 @@ GALILEO_E5A_FREQ_HZ = 1_176.45e6
 GALILEO_E5A_CODE_RATE_CPS = 10.23e6
 GALILEO_E5A_CODE_LENGTH_CHIPS = 10230
 
+# --- Galileo E6 (B/C, HAS) ---------------------------------------------------
+# reference: Galileo_E6.h:30-45 (E6-B/C Codes Technical Note Issue 1, 2019)
+GALILEO_E6_FREQ_HZ = 1_278.75e6
+GALILEO_E6_CODE_RATE_CPS = 5.115e6
+GALILEO_E6_CODE_LENGTH_CHIPS = 5115
+
 # --- Galileo E5b ------------------------------------------------------------
 GALILEO_E5B_FREQ_HZ = 1_207.14e6
 GALILEO_E5B_CODE_RATE_CPS = 10.23e6

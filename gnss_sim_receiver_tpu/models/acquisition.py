@@ -153,7 +153,7 @@ class PcpsAcquisitionEngine:
     def n_samples_needed(self) -> int:
         if self.conf.variant == "tong":
             return self.fft_size * self.conf.tong_max_dwells
-        return self.n_coherent * self.conf.max_dwells
+        return self.fft_size * self.conf.max_dwells
 
     def acquire(self, x: np.ndarray, samplestamp: int = 0) -> AcqResults:
         """Search every channel's grid over `x` (>= n_samples_needed

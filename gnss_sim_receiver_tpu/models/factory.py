@@ -31,6 +31,7 @@ from gnss_sim_receiver_tpu.models.receiver import (Receiver, ReceiverConf,
                                                    galileo_e1b_chain,
                                                    galileo_e5a_chain,
                                                    galileo_e5b_chain,
+                                                   galileo_e6b_chain,
                                                    glonass_l1_chain,
                                                    gps_l2c_chain,
                                                    gps_l5_chain)
@@ -54,6 +55,7 @@ _ACQ_IMPLS = {
     "1G": {"GLONASS_L1_CA_PCPS_Acquisition"},
     "B1": {"BEIDOU_B1I_PCPS_Acquisition"},
     "B3": {"BEIDOU_B3I_PCPS_Acquisition"},
+    "E6": {"Galileo_E6_PCPS_Acquisition"},
 }
 _TRK_IMPLS = {
     "1C": {"GPS_L1_CA_DLL_PLL_Tracking", "GPS_L1_CA_KF_Tracking"},
@@ -65,6 +67,7 @@ _TRK_IMPLS = {
     "1G": {"GLONASS_L1_CA_DLL_PLL_Tracking"},
     "B1": {"BEIDOU_B1I_DLL_PLL_Tracking"},
     "B3": {"BEIDOU_B3I_DLL_PLL_Tracking"},
+    "E6": {"Galileo_E6_DLL_PLL_Tracking"},
 }
 _DEFAULT_ACQ = {
     "1C": "GPS_L1_CA_PCPS_Acquisition",
@@ -76,6 +79,7 @@ _DEFAULT_ACQ = {
     "1G": "GLONASS_L1_CA_PCPS_Acquisition",
     "B1": "BEIDOU_B1I_PCPS_Acquisition",
     "B3": "BEIDOU_B3I_PCPS_Acquisition",
+    "E6": "Galileo_E6_PCPS_Acquisition",
 }
 _DEFAULT_TRK = {
     "1C": "GPS_L1_CA_DLL_PLL_Tracking",
@@ -87,6 +91,7 @@ _DEFAULT_TRK = {
     "1G": "GLONASS_L1_CA_DLL_PLL_Tracking",
     "B1": "BEIDOU_B1I_DLL_PLL_Tracking",
     "B3": "BEIDOU_B3I_DLL_PLL_Tracking",
+    "E6": "Galileo_E6_DLL_PLL_Tracking",
 }
 _CHAIN_BUILDERS = {
     "1B": galileo_e1b_chain,
@@ -96,9 +101,11 @@ _CHAIN_BUILDERS = {
     "7X": galileo_e5b_chain,
     "B1": beidou_b1i_chain,
     "B3": beidou_b3i_chain,
+    "E6": galileo_e6b_chain,
 }
 # every signal group the factory recognises, reference order
-ALL_SIGNALS = ("1C", "1B", "2S", "L5", "5X", "7X", "1G", "B1", "B3")
+ALL_SIGNALS = ("1C", "1B", "2S", "L5", "5X", "7X", "E6", "1G", "B1",
+               "B3")
 
 
 @dataclasses.dataclass

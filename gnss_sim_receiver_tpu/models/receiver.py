@@ -81,6 +81,10 @@ class SignalChainConf:
             from gnss_sim_receiver_tpu.models.telemetry import \
                 GpsCnavTelemetryDecoder
             return GpsCnavTelemetryDecoder(prns, signal=self.signal)
+        if self.signal == "E6":
+            from gnss_sim_receiver_tpu.models.telemetry import \
+                GalileoE6bTelemetryDecoder
+            return GalileoE6bTelemetryDecoder(prns)
         return TelemetryDecoder(prns)
 
 
@@ -234,6 +238,37 @@ def galileo_e5b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         sc_rate=sig.chip_rate_cps)
 
 
+def galileo_e6b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
+                      **trk_overrides) -> SignalChainConf:
+    """Galileo E6-B (HAS) chain: 5.115 Mcps memory codes, 1 ms epochs, one
+    1000-sps C/NAV symbol per epoch (the reference's
+    Galileo_E6_PCPS_Acquisition / Galileo_E6_DLL_PLL_Tracking /
+    Galileo_E6 telemetry blocks, gnss_block_factory.cc:1012,1150)."""
+    from gnss_sim_receiver_tpu import signals
+    sig = signals.GALILEO_E6B
+    trk_kw = dict(
+        fs=fs, code_rate_cps=sig.chip_rate_cps,
+        code_length_chips=sig.code_length_chips,
+        carrier_freq_hz=sig.carrier_freq_hz,
+        early_late_space_chips=0.5, pll_bw_hz=50.0,
+        enable_fll_pullin=False,    # C/NAV symbols flip every 1 ms epoch
+        # E6-B is a DATA component with one symbol per epoch: the coherent
+        # NBD/NBP lock test zero-means over any window; use the rectified
+        # detector (the reference instead tracks the E6-C pilot)
+        lock_rectify=True,
+        fll_pullin_epochs=100)
+    trk_kw.update(trk_overrides)
+    return SignalChainConf(
+        signal="E6", system="Galileo", prns=tuple(prns),
+        n_channels=n_channels, max_acq_channels=n_channels,
+        acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
+                    doppler_step=250.0, max_dwells=2,
+                    make_two_steps=True, doppler_step2=62.5),
+        trk=TrackingConf(**trk_kw),
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.chip_rate_cps)
+
+
 def glonass_l1_chain(fs: float, prns, freq_slot: int = 0,
                      n_channels: int | None = None, day_base_s: float = 0.0,
                      **trk_overrides) -> SignalChainConf:
@@ -340,6 +375,8 @@ class ReceiverRun:
     events: list               # [(channel, ChannelEvent)]
     track_outputs: dict | None = None
     channel_systems: list = () # constellation per channel
+    # decoded Galileo HAS messages (nav.has.HasData), E6-B chains only
+    has_messages: list = dataclasses.field(default_factory=list)
     # hybrid-mode AOWR products: [(est_tx_tow_s, clock_diff_s)] per fix
     clock_differences: list = dataclasses.field(default_factory=list)
     # rx clock sharing records: [(rx_time_s, tag_tow_s, bias_s, prn)]
@@ -398,6 +435,16 @@ class Receiver:
             # lean packed pulls (hot-path planes only) unless the caller
             # wants the full diagnostic set
             chains[-1].trk.full_outputs = bool(collect_track_outputs)
+        # cross-band Galileo TOW sharing: E6-B C/NAV is timeless, its
+        # channels stamp TOW published by the other Galileo bands
+        # (galileo_tow_map.cc role)
+        tow_map = None
+        if any(rt.spec.signal == "E6" for rt in chains):
+            from gnss_sim_receiver_tpu.models.telemetry import GalileoTowMap
+            tow_map = GalileoTowMap(conf.fs)
+            for rt in chains:
+                if rt.spec.signal == "E6":
+                    rt.tlm.tow_map = tow_map
         obs_eng = ObservablesEngine(conf.obs, n_channels=n_total)
         ephemerides = dict(ephemerides or {})
         solutions = []
@@ -516,6 +563,15 @@ class Receiver:
                 tlm_res = rt.tlm.process(outs)
                 for c, eph in tlm_res.new_ephemerides:
                     ephemerides[rt.eph_key(eph.prn)] = eph
+                if (tow_map is not None and rt.spec.system == "Galileo"
+                        and rt.spec.signal != "E6"):
+                    # publish per-PRN TOW for the E6 channels
+                    tv = tlm_res.tow_valid
+                    for c in np.flatnonzero(tv.any(axis=0)):
+                        e = int(np.flatnonzero(tv[:, c])[-1])
+                        tow_map.update(rt.tlm.prns[c],
+                                       tlm_res.tow_at_epoch_ms[e, c],
+                                       outs["sample_counter"][e, c])
                 obs_eng.push_epochs(outs, tlm_res,
                                     channel_offset=rt.offset)
 
@@ -609,12 +665,17 @@ class Receiver:
         events = []
         for rt in chains:
             events.extend((rt.offset + c, ev) for c, ev in rt.mgr.events)
+        has_messages = []
+        for rt in chains:
+            if rt.spec.signal == "E6":
+                has_messages.extend(rt.tlm.has.messages)
         return ReceiverRun(
             solutions=solutions, observation_epochs=obs_epochs,
             channel_prns=prn_map, channel_states=states,
             channel_systems=sys_map,
             ephemerides=ephemerides, events=events,
             track_outputs=track_outputs,
+            has_messages=has_messages,
             clock_differences=clock_differences,
             rx_clock_bias_log=rx_clock_bias_log)
 

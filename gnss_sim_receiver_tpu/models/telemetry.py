@@ -742,3 +742,82 @@ class GalileoE5bTelemetryDecoder:
                         or st.ephemeris.toe != eph.toe):
                     st.ephemeris = eph
                     new_eph.append((c, eph))
+
+
+class GalileoTowMap:
+    """Shared PRN -> (TOW, sample counter) map: channels that decode TOW on
+    any Galileo band publish it; E6-B channels — whose C/NAV pages carry no
+    TOW — stamp their epochs from it (role of the reference's
+    galileo_tow_map.cc and the telemetry decoder's d_E6_TOW_set path,
+    galileo_telemetry_decoder_gs.cc:1273-1290)."""
+
+    def __init__(self, fs: float):
+        self.fs = float(fs)
+        self._m: dict[int, tuple[float, float]] = {}
+
+    def update(self, prn: int, tow_ms: float, sample_counter: float) -> None:
+        self._m[int(prn)] = (float(tow_ms), float(sample_counter))
+
+    def tow_at_sample(self, prn: int, sample_counter: float) -> float | None:
+        hit = self._m.get(int(prn))
+        if hit is None:
+            return None
+        tow_ms, sc_ref = hit
+        return tow_ms + (float(sample_counter) - sc_ref) / self.fs * 1e3
+
+
+class GalileoE6bTelemetryDecoder:
+    """Galileo E6-B C/NAV telemetry: one 1000-sps HAS symbol per 1 ms code
+    epoch; pages decode through nav.cnav_e6.CnavPageDecoder and feed the
+    shared nav.has.HasMessageAssembler (decoded HAS messages accumulate in
+    `self.has.messages`).  TOW comes from the cross-band GalileoTowMap —
+    C/NAV itself is timeless (reference E6 arm of
+    galileo_telemetry_decoder_gs.cc:253,682-778 + the HAS msg receiver)."""
+
+    EPOCH_MS = 1.0
+
+    def __init__(self, prns, tow_map: GalileoTowMap | None = None):
+        from gnss_sim_receiver_tpu.nav.cnav_e6 import CnavPageDecoder
+        from gnss_sim_receiver_tpu.nav.has import HasMessageAssembler
+        self._mk = CnavPageDecoder
+        self.prns = [int(p) for p in prns]
+        self.ch = [_GalChannelTlmState(decoder=CnavPageDecoder())
+                   for _ in self.prns]
+        self.has = HasMessageAssembler()
+        self.tow_map = tow_map
+        self.pages = []            # (channel, HasPageEvent), CRC-clean
+
+    def reset_channel(self, c: int, prn: int | None = None,
+                      epoch_base: int | None = None) -> None:
+        st = _GalChannelTlmState(decoder=self._mk())
+        if epoch_base is not None:
+            st.epoch_count = epoch_base
+        self.ch[c] = st
+        if prn is not None:
+            self.prns[c] = int(prn)
+
+    def process(self, track_outs: dict) -> TelemetryOutputs:
+        prompts = track_outs["prompt"]
+        valid = track_outs["valid"]
+        sc = np.asarray(track_outs["sample_counter"], np.float64)
+        t_len, n_ch = prompts.shape
+        tow = np.full((t_len, n_ch), np.nan)
+        for c in range(n_ch):
+            st = self.ch[c]
+            pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
+            for ev in st.decoder.push_symbols(pi.tolist()):
+                if not ev.crc_ok:
+                    continue
+                self.pages.append((c, ev))
+                self.has.push_page(ev)
+            if self.tow_map is not None and v.any():
+                idx = np.flatnonzero(v)
+                stamped = [self.tow_map.tow_at_sample(self.prns[c],
+                                                      sc[e, c])
+                           for e in idx]
+                for e, t_ms in zip(idx, stamped):
+                    if t_ms is not None:
+                        tow[e, c] = t_ms
+        return TelemetryOutputs(tow_at_epoch_ms=tow,
+                                tow_valid=~np.isnan(tow),
+                                new_ephemerides=[])

@@ -106,6 +106,12 @@ def _sig_params(sat: SatelliteSignalParams):
         # B3I: same per-epoch-sign convention as B1I at 10.23 Mcps
         return (pcm.beidou_b3i_code(sat.prn).astype(np.int8),
                 constants.BEIDOU_B3I_CODE_RATE_CPS, 10230)
+    if sat.signal == "E6":
+        from gnss_sim_receiver_tpu import signals as sigdefs
+        # E6-B: one 1000-sps C/NAV symbol per 5115-chip code period
+        # (nav_bits = +-1 symbol signs, nav.cnav_e6.e6b_epoch_signs)
+        return (sigdefs.galileo_e6_code(sat.prn, "B").astype(np.int8),
+                constants.GALILEO_E6_CODE_RATE_CPS, 5115)
     raise NotImplementedError(
         f"simulator signal {sat.system}/{sat.signal} not yet supported")
 

@@ -62,6 +62,10 @@ def main():
         ("e5aq", "Galileo_E5a.h", "GALILEO_E5A_Q_PRIMARY_CODE", 10230, 2558),
         ("e5bi", "Galileo_E5b.h", "GALILEO_E5B_I_PRIMARY_CODE", 10230, 2558),
         ("e5bq", "Galileo_E5b.h", "GALILEO_E5B_Q_PRIMARY_CODE", 10230, 2558),
+        # E6-B/C Codes Technical Note Issue 1 (Jan 2019): 5115-chip memory
+        # codes = 1278 full hex chars + top 3 bits of the last
+        ("e6b", "Galileo_E6.h", "GALILEO_E6_B_PRIMARY_CODE", 5115, 1279),
+        ("e6c", "Galileo_E6.h", "GALILEO_E6_C_PRIMARY_CODE", 5115, 1279),
     ]:
         strings = parse_table(f"{REF}/{hdr}", name, 50, slen)
         bits = np.stack([hex_to_bits(s, n_chips) for s in strings])
@@ -82,6 +86,13 @@ def main():
         bits = np.stack([bin_to_bits(s) for s in strings])
         out[key] = np.packbits(bits, axis=1)
         out[key + "_len"] = np.array(100)
+
+    # E6-C per-PRN 100-chip secondary (25 hex chars per PRN)
+    strings = parse_table(f"{REF}/Galileo_E6.h", "GALILEO_E6_C_SECONDARY_CODE",
+                          50, 25)
+    bits = np.stack([hex_to_bits(s, 100) for s in strings])
+    out["e6c_sec"] = np.packbits(bits, axis=1)
+    out["e6c_sec_len"] = np.array(100)
 
     # constellation-wide secondaries
     for key, hdr, name, n in [
