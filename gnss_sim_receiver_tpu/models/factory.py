@@ -285,7 +285,7 @@ def pvt_conf_from_config(config: Configuration) -> PvtConf:
     separate keys consumed by __main__._write_outputs)."""
     mode = config.property("PVT.positioning_mode", "Single")
     if mode not in ("Single", "Static", "PPP_Static", "PPP_Kinematic",
-                    "Kinematic", "DGPS"):
+                    "Kinematic", "DGPS", "RTK_Static", "RTK_Kinematic"):
         raise NotImplementedError(f"PVT.positioning_mode {mode}")
     return PvtConf(
         positioning_mode=mode,
@@ -293,6 +293,21 @@ def pvt_conf_from_config(config: Configuration) -> PvtConf:
         max_gdop=config.property("PVT.threshold_reject_GDOP", 30.0),
         iono_model=config.property("PVT.iono_model", "OFF"),
         trop_model=config.property("PVT.trop_model", "OFF"),
+    )
+
+
+def rtk_conf_from_config(config: Configuration):
+    """RTK relative-positioning keys (rtklib_pvt.cc prcopt fill: AR mode,
+    measurement sigmas) for PVT.positioning_mode = RTK_Static/RTK_Kinematic;
+    the base station observables arrive out of band (two-receiver runs)."""
+    from gnss_sim_receiver_tpu.models.rtk import RtkConf
+    mode = config.property("PVT.positioning_mode", "Single")
+    return RtkConf(
+        mode="kinematic" if mode == "RTK_Kinematic" else "static",
+        elevation_mask_deg=config.property("PVT.elevation_mask", 10.0),
+        code_sigma_m=config.property("PVT.code_sigma_m", 0.5),
+        carrier_sigma_m=config.property("PVT.carrier_sigma_m", 0.003),
+        ratio_threshold=config.property("PVT.AR_ratio_threshold", 3.0),
     )
 
 
