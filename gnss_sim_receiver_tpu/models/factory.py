@@ -8,12 +8,12 @@ whose roles the batched design absorbs (channel adapters, msg queues,
 sample counters) have no standalone object — their parameters land in the
 corresponding engine conf.
 
-All nine implemented signal chains are reachable from conf files:
+All eleven implemented signal chains are reachable from conf files:
 GPS L1 C/A (1C), Galileo E1B (1B), GPS L2C CM (2S), GPS L5I (L5),
-Galileo E5a-I (5X), Galileo E5b-I (7X), GLONASS L1 C/A (1G, one chain per
-occupied FDMA slot), BeiDou B1I (B1), BeiDou B3I (B3) — matching the
-per-signal dispatch of gnss_block_factory.cc:652-1335 (GetAcqBlock :1349,
-GetTrkBlock :1536).
+Galileo E5a-I (5X), Galileo E5b-I (7X), Galileo E6-B (E6), GLONASS L1 C/A
+(1G, one chain per occupied FDMA slot), BeiDou B1I (B1, D1 + D2 GEO),
+BeiDou B3I (B3), SBAS L1 (S1) — matching the per-signal dispatch of
+gnss_block_factory.cc:652-1335 (GetAcqBlock :1349, GetTrkBlock :1536).
 """
 
 from __future__ import annotations
@@ -34,7 +34,8 @@ from gnss_sim_receiver_tpu.models.receiver import (Receiver, ReceiverConf,
                                                    galileo_e6b_chain,
                                                    glonass_l1_chain,
                                                    gps_l2c_chain,
-                                                   gps_l5_chain)
+                                                   gps_l5_chain,
+                                                   sbas_l1_chain)
 from gnss_sim_receiver_tpu.models.tracking import TrackingConf
 from gnss_sim_receiver_tpu.utils.config import Configuration
 
@@ -56,6 +57,9 @@ _ACQ_IMPLS = {
     "B1": {"BEIDOU_B1I_PCPS_Acquisition"},
     "B3": {"BEIDOU_B3I_PCPS_Acquisition"},
     "E6": {"Galileo_E6_PCPS_Acquisition"},
+    # SBAS L1 rides the GPS L1 C/A blocks in the reference (only the
+    # telemetry decoder is SBAS-specific, gnss_block_factory.cc:1252)
+    "S1": {"SBAS_L1_PCPS_Acquisition", "GPS_L1_CA_PCPS_Acquisition"},
 }
 _TRK_IMPLS = {
     "1C": {"GPS_L1_CA_DLL_PLL_Tracking", "GPS_L1_CA_KF_Tracking"},
@@ -68,6 +72,7 @@ _TRK_IMPLS = {
     "B1": {"BEIDOU_B1I_DLL_PLL_Tracking"},
     "B3": {"BEIDOU_B3I_DLL_PLL_Tracking"},
     "E6": {"Galileo_E6_DLL_PLL_Tracking"},
+    "S1": {"SBAS_L1_DLL_PLL_Tracking", "GPS_L1_CA_DLL_PLL_Tracking"},
 }
 _DEFAULT_ACQ = {
     "1C": "GPS_L1_CA_PCPS_Acquisition",
@@ -80,6 +85,7 @@ _DEFAULT_ACQ = {
     "B1": "BEIDOU_B1I_PCPS_Acquisition",
     "B3": "BEIDOU_B3I_PCPS_Acquisition",
     "E6": "Galileo_E6_PCPS_Acquisition",
+    "S1": "SBAS_L1_PCPS_Acquisition",
 }
 _DEFAULT_TRK = {
     "1C": "GPS_L1_CA_DLL_PLL_Tracking",
@@ -92,6 +98,7 @@ _DEFAULT_TRK = {
     "B1": "BEIDOU_B1I_DLL_PLL_Tracking",
     "B3": "BEIDOU_B3I_DLL_PLL_Tracking",
     "E6": "Galileo_E6_DLL_PLL_Tracking",
+    "S1": "SBAS_L1_DLL_PLL_Tracking",
 }
 _CHAIN_BUILDERS = {
     "1B": galileo_e1b_chain,
@@ -102,10 +109,11 @@ _CHAIN_BUILDERS = {
     "B1": beidou_b1i_chain,
     "B3": beidou_b3i_chain,
     "E6": galileo_e6b_chain,
+    "S1": sbas_l1_chain,
 }
 # every signal group the factory recognises, reference order
 ALL_SIGNALS = ("1C", "1B", "2S", "L5", "5X", "7X", "E6", "1G", "B1",
-               "B3")
+               "B3", "S1")
 
 
 @dataclasses.dataclass

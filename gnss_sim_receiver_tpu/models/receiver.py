@@ -85,6 +85,10 @@ class SignalChainConf:
             from gnss_sim_receiver_tpu.models.telemetry import \
                 GalileoE6bTelemetryDecoder
             return GalileoE6bTelemetryDecoder(prns)
+        if self.signal == "S1":
+            from gnss_sim_receiver_tpu.models.telemetry import \
+                SbasL1TelemetryDecoder
+            return SbasL1TelemetryDecoder(prns)
         return TelemetryDecoder(prns)
 
 
@@ -264,6 +268,33 @@ def galileo_e6b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
                     doppler_step=250.0, max_dwells=2,
                     make_two_steps=True, doppler_step2=62.5),
+        trk=TrackingConf(**trk_kw),
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.chip_rate_cps)
+
+
+def sbas_l1_chain(fs: float, prns=tuple(range(120, 139)), n_channels=2,
+                  **trk_overrides) -> SignalChainConf:
+    """SBAS L1 chain: GPS C/A chip plan on PRN 120-138, 500-sps conv-coded
+    symbols (2 epochs each) — the reference's SBAS_L1_* blocks
+    (sbas_l1_telemetry_decoder.cc adapter).  Data flips every 2 epochs at
+    worst, so FLL pull-in stays off and the rectified lock test handles
+    the zero-mean symbol stream."""
+    from gnss_sim_receiver_tpu import signals
+    sig = signals.SBAS_L1
+    trk_kw = dict(
+        fs=fs, code_rate_cps=sig.chip_rate_cps,
+        code_length_chips=sig.code_length_chips,
+        carrier_freq_hz=sig.carrier_freq_hz,
+        early_late_space_chips=0.5, pll_bw_hz=40.0,
+        lock_rectify=True, enable_fll_pullin=False)
+    trk_kw.update(trk_overrides)
+    return SignalChainConf(
+        signal="S1", system="SBAS", prns=tuple(prns),
+        n_channels=n_channels, max_acq_channels=n_channels,
+        acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
+                    doppler_step=250.0, max_dwells=2, make_two_steps=True,
+                    doppler_step2=62.5, bit_transition_flag=True),
         trk=TrackingConf(**trk_kw),
         code_provider=lambda p: signals.subchip_table(sig, p),
         sc_rate=sig.chip_rate_cps)

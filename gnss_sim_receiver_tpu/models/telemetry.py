@@ -584,31 +584,41 @@ class GlonassTelemetryDecoder:
 # ---------------------------------------------------------------------------
 
 class BeidouB1iTelemetryDecoder:
-    """Consumes TrackingEngine outputs for B1I channels (1 ms code epochs;
-    50-bps D1 bits spread by the NH20 secondary code), synchronizes NH20,
-    folds 20-epoch bits, decodes D1 subframes (nav.dnav) and produces TOW
-    stamps + BDS Kepler ephemerides.
+    """Consumes TrackingEngine outputs for B1I channels.  MEO/IGSO PRNs
+    carry D1 (1 ms code epochs; 50-bps bits spread by NH20): synchronize
+    NH20, fold 20-epoch bits, decode D1 subframes (nav.dnav).  GEO PRNs
+    (1-5, >58) carry D2 at 500 bps with no NH: per-epoch prompts feed the
+    D2 page decoder directly (2 symbols per bit), mirroring the
+    reference's per-satellite mode switch
+    (beidou_b1i_telemetry_decoder_gs.cc set_satellite :368-420, decode
+    dispatch :268-276).
 
     TOW semantics: every subframe's SOW field is the BDT of its own first
-    bit (BDS ICD 5.2.4.2)."""
+    bit (BDS ICD 5.2.4.2), for both D1 and D2."""
 
     def __init__(self, prns):
-        from gnss_sim_receiver_tpu.nav.dnav import DnavSubframeDecoder
+        from gnss_sim_receiver_tpu.nav.dnav import (D2SubframeDecoder,
+                                                    DnavSubframeDecoder,
+                                                    is_geo_prn)
         self._mk = DnavSubframeDecoder
+        self._mk_d2 = D2SubframeDecoder
+        self._is_geo = is_geo_prn
         self.prns = [int(p) for p in prns]
-        self.ch = [_CnavChannelTlmState(decoder=DnavSubframeDecoder())
-                   for _ in self.prns]
+        self.ch = [_CnavChannelTlmState(
+            decoder=self._mk_d2() if is_geo_prn(p) else DnavSubframeDecoder())
+            for p in self.prns]
         from gnss_sim_receiver_tpu.ops.prn_codes_multi import BEIDOU_NH20
         self._nh = 1.0 - 2.0 * np.asarray(BEIDOU_NH20, np.float64)
 
     def reset_channel(self, c: int, prn: int | None = None,
                       epoch_base: int | None = None) -> None:
-        st = _CnavChannelTlmState(decoder=self._mk())
+        if prn is not None:
+            self.prns[c] = int(prn)
+        mk = self._mk_d2 if self._is_geo(self.prns[c]) else self._mk
+        st = _CnavChannelTlmState(decoder=mk())
         if epoch_base is not None:
             st.epoch_count = epoch_base
         self.ch[c] = st
-        if prn is not None:
-            self.prns[c] = int(prn)
 
     def process(self, track_outs: dict) -> TelemetryOutputs:
         from gnss_sim_receiver_tpu.nav.dnav import \
@@ -621,24 +631,48 @@ class BeidouB1iTelemetryDecoder:
         for c in range(n_ch):
             st = self.ch[c]
             pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
-            st.pend.extend(pi.tolist())
-            soft_bits = _fold_secondary(st, self._nh, margin=1.2,
-                                        min_symbols=10)
-            for ev in st.decoder.push_bits(soft_bits):
-                if not ev.ok or ev.fra_id not in (1, 2, 3):
-                    continue
-                st.msgs[ev.fra_id] = ev.fields
-                # SOW stamps the subframe's own first bit (20 epochs/bit)
-                st.anchor_epoch = (st.symbol_base
-                                   + ev.subframe_start_bit * 20)
-                st.anchor_tow_ms = ev.fields["sow"] * 1000.0
-                self._try_ephemeris(st, c, new_eph,
-                                    subframes_to_beidou_ephemeris)
+            if self._is_geo(self.prns[c]):
+                # D2: 1 ms prompts straight into the page decoder
+                for ev in st.decoder.push_symbols(pi):
+                    if not ev.ok:
+                        continue
+                    if ev.fra_id == 1:
+                        st.msgs[ev.pnum] = ev.fields
+                        self._try_ephemeris_d2(st, c, new_eph)
+                        # SOW stamps the frame's first bit == subframe 1's
+                        # first symbol (BDS ICD 5.3.2 D2)
+                        st.anchor_epoch = (st.symbol_base
+                                           + ev.subframe_start_sym)
+                        st.anchor_tow_ms = ev.fields["sow"] * 1000.0
+            else:
+                st.pend.extend(pi.tolist())
+                soft_bits = _fold_secondary(st, self._nh, margin=1.2,
+                                            min_symbols=10)
+                for ev in st.decoder.push_bits(soft_bits):
+                    if not ev.ok or ev.fra_id not in (1, 2, 3):
+                        continue
+                    st.msgs[ev.fra_id] = ev.fields
+                    # SOW stamps the subframe's own first bit (20 ep/bit)
+                    st.anchor_epoch = (st.symbol_base
+                                       + ev.subframe_start_bit * 20)
+                    st.anchor_tow_ms = ev.fields["sow"] * 1000.0
+                    self._try_ephemeris(st, c, new_eph,
+                                        subframes_to_beidou_ephemeris)
             _stamp_tow_column(tow[:, c], v, base, st, 1.0,
                               after_anchor=False)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=new_eph)
+
+    def _try_ephemeris_d2(self, st, c, new_eph) -> None:
+        from gnss_sim_receiver_tpu.nav.dnav import \
+            d2_pages_to_beidou_ephemeris
+        if not all(p in st.msgs for p in range(1, 11)):
+            return
+        eph = d2_pages_to_beidou_ephemeris(self.prns[c], st.msgs)
+        if (st.ephemeris is None or st.ephemeris.toe != eph.toe):
+            st.ephemeris = eph
+            new_eph.append((c, eph))
 
     def _try_ephemeris(self, st, c, new_eph, to_eph) -> None:
         if not all(s in st.msgs for s in (1, 2, 3)):
@@ -818,6 +852,103 @@ class GalileoE6bTelemetryDecoder:
                 for e, t_ms in zip(idx, stamped):
                     if t_ms is not None:
                         tow[e, c] = t_ms
+        return TelemetryOutputs(tow_at_epoch_ms=tow,
+                                tow_valid=~np.isnan(tow),
+                                new_ephemerides=[])
+
+
+# ---------------------------------------------------------------------------
+# SBAS L1 telemetry — sbas_l1_telemetry_decoder_gs role
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class _SbasChannelTlmState:
+    epoch_count: int = 0
+    symbol_base: int = -1
+    # epoch->symbol pairing resolved by correlating adjacent epoch
+    # products at both alignments (the reference's Sample_Aligner,
+    # sbas_l1_telemetry_decoder_gs.cc:115-170): the aligned pairing
+    # multiplies two epochs of the SAME symbol (positive product), the
+    # misaligned one straddles symbol boundaries; epochs buffer in `pend`
+    # until the vote has enough margin, then one decoder runs
+    decoder: object = None
+    pend: list = dataclasses.field(default_factory=list)
+    corr_paired: float = 0.0     # sum e[2k]   * e[2k+1]
+    corr_shift: float = 0.0      # sum e[2k+1] * e[2k+2]
+    n_voted: int = 0
+    phase: int | None = None
+
+
+class SbasL1TelemetryDecoder:
+    """Consumes TrackingEngine outputs for SBAS L1 channels (1 ms code
+    epochs; 500-sps rate-1/2-coded symbols spanning 2 epochs each) and
+    produces decoded SBAS messages (self.messages: (channel, prn,
+    SbasMessageEvent)) + per-channel MT9 GEO navigation (self.geo_nav).
+
+    SBAS messages carry no TOW for the observables chain; the reference's
+    SBAS channels likewise only publish messages (and sample stamps) —
+    tow_at_epoch_ms stays NaN."""
+
+    EPOCHS_PER_SYMBOL = 2
+    EPOCH_MS = 1.0
+
+    def __init__(self, prns):
+        from gnss_sim_receiver_tpu.nav.sbas import SbasMessageDecoder
+        self._mk = SbasMessageDecoder
+        self.prns = [int(p) for p in prns]
+        self.ch = [self._new_state() for _ in self.prns]
+        self.messages = []
+
+    def _new_state(self):
+        return _SbasChannelTlmState(decoder=self._mk())
+
+    def reset_channel(self, c: int, prn: int | None = None,
+                      epoch_base: int | None = None) -> None:
+        st = self._new_state()
+        if epoch_base is not None:
+            st.epoch_count = epoch_base
+        self.ch[c] = st
+        if prn is not None:
+            self.prns[c] = int(prn)
+
+    def geo_nav(self, c: int):
+        """Latest MT9 GEO navigation decoded on channel c (or None)."""
+        return self.ch[c].decoder.geo_nav
+
+    def process(self, track_outs: dict) -> TelemetryOutputs:
+        prompts = track_outs["prompt"]
+        valid = track_outs["valid"]
+        t_len, n_ch = prompts.shape
+        tow = np.full((t_len, n_ch), np.nan)
+        for c in range(n_ch):
+            st = self.ch[c]
+            pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
+            st.pend.extend(pi.tolist())
+            if st.phase is None:
+                # pairing vote over the buffered epochs (Sample_Aligner)
+                e = np.asarray(st.pend, np.float64)
+                if len(e) >= 3:
+                    st.corr_paired = float(
+                        (e[0:-1:2] * e[1::2]).sum())
+                    st.corr_shift = float(
+                        (e[1:-1:2] * e[2::2]).sum())
+                    st.n_voted = len(e)
+                if st.n_voted < 64:
+                    continue
+                hi = max(st.corr_paired, st.corr_shift)
+                lo = min(st.corr_paired, st.corr_shift)
+                if hi <= 0 or hi - lo < 0.5 * abs(hi):
+                    continue             # ambiguous, keep buffering
+                st.phase = 0 if st.corr_paired >= st.corr_shift else 1
+                del st.pend[:st.phase]   # odd pairing drops one epoch
+            n_sym = len(st.pend) // 2
+            if not n_sym:
+                continue
+            syms = np.asarray(st.pend[:2 * n_sym], np.float64
+                              ).reshape(-1, 2).sum(axis=1)
+            del st.pend[:2 * n_sym]
+            for ev in st.decoder.push_symbols(syms):
+                self.messages.append((c, self.prns[c], ev))
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=[])

@@ -17,7 +17,8 @@ Structure per the BDS-SIS-ICD-2.0 (D1, MEO/IGSO):
            parity bits per word).
   Subframes 1-3 carry clock/iono/health + the Kepler ephemeris (CGCS2000,
   same GM as Galileo); 4-5 carry almanac (placeholder here).
-  GEO satellites use D2 at 500 bps (gap item).
+  GEO satellites (PRN 1-5, >58) use D2 at 500 bps — see the D2 section
+  below (2 code epochs per bit, no NH; subframe 1 split into 10 pages).
 """
 
 from __future__ import annotations
@@ -367,3 +368,301 @@ def b1i_epoch_signs(bits01: np.ndarray) -> np.ndarray:
     nh = 1 - 2 * np.asarray(BEIDOU_NH20, np.int64)
     b = 2 * np.asarray(bits01, np.int64) - 1
     return (np.repeat(b, 20) * np.tile(nh, len(b))).astype(np.int8)
+
+
+# ==========================================================================
+# D2 NAV (GEO satellites, PRN 1-5 / >58): 500 bps, 2 code epochs per bit,
+# no NH modulation; subframe 1 split into 10 pages carrying the full
+# ephemeris/clock/iono set.  Mirrors the reference's D2 arm
+# (beidou_b1i_telemetry_decoder_gs.cc:268-276 GEO dispatch,
+# beidou_dnav_navigation_message.cc:377 d2_subframe_decoder; field widths
+# from Beidou_DNAV.h D2_* tables).  Same word/BCH(15,11)/interleave layer
+# as D1; page layouts are self-consistent over the 206-bit payload.
+# ==========================================================================
+
+D2_SECONDS_PER_BIT = 2e-3
+D2_FRAME_SECONDS = 3.0           # 5 subframes x 0.6 s
+D2_PAGES = 10
+
+# every page leads with SOW (of its own subframe's first bit) + Pnum.
+# Split fields keep the reference widths: a1 = 4+18, cuc = 14+4,
+# e = 10+22, cic = 10+8, i0 = 21+11, omega_dot = 19+5, omega = 27+5.
+_D2_HDR = {"sow": (1, 20, 1.0, False), "pnum": (21, 4, 1.0, False)}
+_D2_PAGE = {
+    1: {"sat_h1": (25, 1, 1.0, False), "aodc": (26, 5, 1.0, False),
+        "urai": (31, 4, 1.0, False), "wn": (35, 13, 1.0, False),
+        "toc": (48, 17, 8.0, False), "tgd1": (65, 10, 1e-10, True)},
+    2: {"alpha0": (25, 8, 2.0 ** -30, True),
+        "alpha1": (33, 8, 2.0 ** -27, True),
+        "alpha2": (41, 8, 2.0 ** -24, True),
+        "alpha3": (49, 8, 2.0 ** -24, True),
+        "beta0": (57, 8, 2.0 ** 11, True),
+        "beta1": (65, 8, 2.0 ** 14, True),
+        "beta2": (73, 8, 2.0 ** 16, True),
+        "beta3": (81, 8, 2.0 ** 16, True)},
+    3: {"a0": (25, 24, 2.0 ** -33, True), "a1_msb": (49, 4, 1.0, False)},
+    4: {"a1_lsb": (25, 18, 1.0, False), "a2": (43, 11, 2.0 ** -66, True),
+        "aode": (54, 5, 1.0, False),
+        "delta_n": (59, 16, 2.0 ** -43, True),
+        "cuc_msb": (75, 14, 1.0, False)},
+    5: {"cuc_lsb": (25, 4, 1.0, False), "m0": (29, 32, 2.0 ** -31, True),
+        "cus": (61, 18, 2.0 ** -31, True), "e_msb": (79, 10, 1.0, False)},
+    6: {"e_lsb": (25, 22, 1.0, False),
+        "sqrt_a": (47, 32, 2.0 ** -19, False),
+        "cic_msb": (79, 10, 1.0, False)},
+    7: {"cic_lsb": (25, 8, 1.0, False), "cis": (33, 18, 2.0 ** -31, True),
+        "toe": (51, 17, 8.0, False), "i0_msb": (68, 21, 1.0, False)},
+    8: {"i0_lsb": (25, 11, 1.0, False), "crc": (36, 18, 2.0 ** -6, True),
+        "crs": (54, 18, 2.0 ** -6, True),
+        "omega_dot_msb": (72, 19, 1.0, False)},
+    9: {"omega_dot_lsb": (25, 5, 1.0, False),
+        "omega0": (30, 32, 2.0 ** -31, True),
+        "omega_msb": (62, 27, 1.0, False)},
+    10: {"omega_lsb": (25, 5, 1.0, False),
+         "idot": (30, 14, 2.0 ** -43, True)},
+}
+
+
+def _d2_layout(pnum: int) -> dict:
+    return {**_D2_HDR, **_D2_PAGE.get(pnum, {})}
+
+
+def pack_d2_subframe(fra_id: int, fields: dict) -> np.ndarray:
+    """D2 subframe -> 300 bits.  Subframe 1 needs fields['pnum']; subframes
+    2-5 are SOW-only fillers here (reference decodes nothing from them,
+    beidou_dnav_navigation_message.cc:540-554)."""
+    layout = (_d2_layout(int(fields.get("pnum", 0))) if fra_id == 1
+              else _D2_HDR)
+    payload = _pack_payload(layout, fields)
+    out = np.empty(SUBFRAME_BITS, dtype=np.int64)
+    w1_data = np.zeros(11, dtype=np.int64)
+    w1_data[0:4] = payload[0:4]
+    for i in range(3):
+        w1_data[4 + i] = (fra_id >> (2 - i)) & 1
+    w1_data[7:11] = payload[4:8]
+    out[:11] = PREAMBLE
+    out[11:15] = 0
+    out[15:30] = bch_encode(w1_data)
+    for w in range(9):
+        chunk = payload[8 + w * 22:8 + (w + 1) * 22]
+        out[30 * (w + 1):30 * (w + 2)] = interleave_word(
+            bch_encode(chunk[:11]), bch_encode(chunk[11:22]))
+    return out
+
+
+def unpack_d2_subframe(bits300: np.ndarray):
+    """-> (ok, fra_id, pnum, fields)."""
+    b = np.asarray(bits300, dtype=np.int64)
+    ok1, w1_data = bch_decode(b[15:30])
+    fra_id = 0
+    for i in range(3):
+        fra_id = (fra_id << 1) | int(w1_data[4 + i])
+    payload = np.zeros(_PAYLOAD_BITS, dtype=np.int64)
+    payload[0:4] = w1_data[0:4]
+    payload[4:8] = w1_data[7:11]
+    ok = ok1
+    for w in range(9):
+        cw1, cw2 = deinterleave_word(b[30 * (w + 1):30 * (w + 2)])
+        o1, d1 = bch_decode(cw1)
+        o2, d2 = bch_decode(cw2)
+        ok = ok and o1 and o2
+        payload[8 + w * 22:8 + w * 22 + 11] = d1
+        payload[8 + w * 22 + 11:8 + w * 22 + 22] = d2
+    hdr = _unpack_payload(_D2_HDR, payload)
+    pnum = int(hdr["pnum"])
+    fields = _unpack_payload(_d2_layout(pnum) if fra_id == 1 else _D2_HDR,
+                             payload)
+    return ok, fra_id, pnum, fields
+
+
+def _split(raw: int, n_total: int, n_lsb: int):
+    return (raw >> n_lsb) & ((1 << (n_total - n_lsb)) - 1), \
+        raw & ((1 << n_lsb) - 1)
+
+
+def _join_signed(msb: float, lsb: float, n_total: int, n_lsb: int,
+                 scale: float) -> float:
+    raw = (int(round(msb)) << n_lsb) | int(round(lsb))
+    if raw >> (n_total - 1):
+        raw -= 1 << n_total
+    return raw * scale
+
+
+def beidou_ephemeris_to_d2_pages(eph) -> dict[int, dict]:
+    """Ephemeris -> the 10 D2 subframe-1 page field sets."""
+    def raw(v, scale, n):
+        r = int(round(v / scale))
+        return r & ((1 << n) - 1)
+
+    a1_m, a1_l = _split(raw(eph.af1, 2.0 ** -50, 22), 22, 18)
+    cuc_m, cuc_l = _split(raw(eph.cuc, 2.0 ** -31, 18), 18, 4)
+    e_m, e_l = _split(raw(eph.ecc, 2.0 ** -33, 32), 32, 22)
+    cic_m, cic_l = _split(raw(eph.cic, 2.0 ** -31, 18), 18, 8)
+    i0_m, i0_l = _split(raw(eph.i0_sc, 2.0 ** -31, 32), 32, 11)
+    od_m, od_l = _split(raw(eph.omega_dot_sc, 2.0 ** -43, 24), 24, 5)
+    om_m, om_l = _split(raw(eph.omega_sc, 2.0 ** -31, 32), 32, 5)
+    return {
+        1: dict(pnum=1, sat_h1=0, aodc=21, urai=0, wn=eph.week,
+                toc=eph.toc, tgd1=eph.tgd),
+        2: dict(pnum=2, alpha0=0.0, alpha1=0.0, alpha2=0.0, alpha3=0.0,
+                beta0=0.0, beta1=0.0, beta2=0.0, beta3=0.0),
+        3: dict(pnum=3, a0=eph.af0, a1_msb=a1_m),
+        4: dict(pnum=4, a1_lsb=a1_l, a2=eph.af2, aode=21,
+                delta_n=eph.delta_n_sc, cuc_msb=cuc_m),
+        5: dict(pnum=5, cuc_lsb=cuc_l, m0=eph.m0_sc, cus=eph.cus,
+                e_msb=e_m),
+        6: dict(pnum=6, e_lsb=e_l, sqrt_a=eph.sqrt_a, cic_msb=cic_m),
+        7: dict(pnum=7, cic_lsb=cic_l, cis=eph.cis, toe=eph.toe,
+                i0_msb=i0_m),
+        8: dict(pnum=8, i0_lsb=i0_l, crc=eph.crc, crs=eph.crs,
+                omega_dot_msb=od_m),
+        9: dict(pnum=9, omega_dot_lsb=od_l, omega0=eph.omega0_sc,
+                omega_msb=om_m),
+        10: dict(pnum=10, omega_lsb=om_l, idot=eph.idot_sc),
+    }
+
+
+def d2_pages_to_beidou_ephemeris(prn: int, pages: dict[int, dict]):
+    """Pages 1-10 -> ephemeris, joining the MSB/LSB split fields (the
+    reference's *_msb_bits << shift | *_lsb assembly)."""
+    from gnss_sim_receiver_tpu.nav.ephemeris import GpsEphemeris
+    p = pages
+    return GpsEphemeris(
+        prn=prn, system="BeiDou", week=int(p[1]["wn"]),
+        toc=p[1]["toc"], tgd=p[1]["tgd1"],
+        af0=p[3]["a0"],
+        af1=_join_signed(p[3]["a1_msb"], p[4]["a1_lsb"], 22, 18, 2.0 ** -50),
+        af2=p[4]["a2"],
+        delta_n_sc=p[4]["delta_n"],
+        cuc=_join_signed(p[4]["cuc_msb"], p[5]["cuc_lsb"], 18, 4,
+                         2.0 ** -31),
+        m0_sc=p[5]["m0"], cus=p[5]["cus"],
+        ecc=((int(round(p[5]["e_msb"])) << 22)
+             | int(round(p[6]["e_lsb"]))) * 2.0 ** -33,
+        sqrt_a=p[6]["sqrt_a"],
+        cic=_join_signed(p[6]["cic_msb"], p[7]["cic_lsb"], 18, 8,
+                         2.0 ** -31),
+        cis=p[7]["cis"], toe=p[7]["toe"],
+        i0_sc=_join_signed(p[7]["i0_msb"], p[8]["i0_lsb"], 32, 11,
+                           2.0 ** -31),
+        crc=p[8]["crc"], crs=p[8]["crs"],
+        omega_dot_sc=_join_signed(p[8]["omega_dot_msb"],
+                                  p[9]["omega_dot_lsb"], 24, 5, 2.0 ** -43),
+        omega0_sc=p[9]["omega0"],
+        omega_sc=_join_signed(p[9]["omega_msb"], p[10]["omega_lsb"], 32, 5,
+                              2.0 ** -31),
+        idot_sc=p[10]["idot"],
+        iode=int(p[4].get("aode", 0)), iodc=int(p[1].get("aodc", 0)),
+    )
+
+
+def d2_bits_for_ephemeris(eph, t0_bdt_s: float, n_frames: int = 10
+                          ) -> np.ndarray:
+    """D2 bit stream {0,1} at 500 bps: frames of 5 subframes (0.6 s each);
+    subframe 1 cycles pages 1-10 across frames, subframes 2-5 are SOW-only
+    fillers.  Full ephemeris needs 10 frames = 30 s.  SOW is an integer
+    second count stamping the first bit of the CURRENT FRAME (BDS ICD
+    5.3.2, D2), carried by all 5 subframes; t0 must be a multiple of 3 s."""
+    if t0_bdt_s % D2_FRAME_SECONDS:
+        raise ValueError("t0_bdt_s must be a multiple of 3 s (frame grid)")
+    pages = beidou_ephemeris_to_d2_pages(eph)
+    out = []
+    for f in range(n_frames):
+        pnum = (f % D2_PAGES) + 1
+        sow = (t0_bdt_s + f * D2_FRAME_SECONDS) % 604800.0
+        out.append(pack_d2_subframe(1, dict(pages[pnum], sow=sow)))
+        for fra in (2, 3, 4, 5):
+            out.append(pack_d2_subframe(fra, dict(sow=sow)))
+    return np.concatenate(out)
+
+
+def d2_epoch_signs(bits01: np.ndarray) -> np.ndarray:
+    """D2 bits {0,1} at 500 bps -> +-1 per 1 ms code epoch (2 epochs per
+    bit, no NH modulation)."""
+    b = 2 * np.asarray(bits01, np.int64) - 1
+    return np.repeat(b, 2).astype(np.int8)
+
+
+@dataclasses.dataclass
+class D2SubframeEvent:
+    fra_id: int
+    pnum: int
+    fields: dict
+    subframe_start_sym: int     # stream symbol (1 ms epoch) index
+    ok: bool
+
+
+class D2SubframeDecoder:
+    """Streaming D2 synchronizer/decoder for one GEO channel: feed soft
+    1 ms-epoch prompt values (1000 sps, 2 per bit); preamble correlation at
+    symbol granularity finds both the subframe boundary and the bit
+    pairing phase (the reference's GEO arm runs its preamble correlator on
+    the same 1 ms symbol history, d_symbol_duration_ms = 2)."""
+
+    SYM_PER_BIT = 2
+    SF_SYMS = SUBFRAME_BITS * SYM_PER_BIT
+
+    def __init__(self):
+        self.syms: list[float] = []
+        self._aligned = False
+        self._inverted = False
+        self._next_sf = 0
+        self._fails = 0
+        self._pre = np.repeat(2.0 * PREAMBLE - 1.0, self.SYM_PER_BIT)
+
+    def push_symbols(self, soft) -> list[D2SubframeEvent]:
+        self.syms.extend(float(s) for s in soft)
+        events = []
+        while True:
+            if not self._aligned and not self._try_align():
+                break
+            if len(self.syms) < self._next_sf + self.SF_SYMS:
+                break
+            ev = self._decode_subframe()
+            if ev is not None:
+                events.append(ev)
+        return events
+
+    def _try_align(self) -> bool:
+        s = np.sign(np.asarray(self.syms, dtype=np.float64))
+        npre = len(self._pre)
+        n = len(s)
+        i = max(self._next_sf, 0)
+        while i + self.SF_SYMS + npre <= n:
+            c0 = float(np.dot(s[i:i + npre], self._pre))
+            if abs(c0) == npre:
+                c1 = float(np.dot(s[i + self.SF_SYMS:
+                                    i + self.SF_SYMS + npre], self._pre))
+                if c1 == c0:
+                    self._aligned = True
+                    self._inverted = c0 < 0
+                    self._next_sf = i
+                    return True
+            i += 1
+        self._next_sf = max(self._next_sf, n - self.SF_SYMS - npre)
+        return False
+
+    def _decode_subframe(self):
+        i = self._next_sf
+        raw = np.asarray(self.syms[i:i + self.SF_SYMS], dtype=np.float64)
+        if self._inverted:
+            raw = -raw
+        bits = raw.reshape(-1, self.SYM_PER_BIT).sum(axis=1)
+        hard = (bits > 0).astype(np.int64)
+        start = i
+        self._next_sf = i + self.SF_SYMS
+        ok, fra, pnum, fields = unpack_d2_subframe(hard)
+        if not ok:
+            self._fails += 1
+            if self._fails >= 4:
+                self._aligned = False
+                self._fails = 0
+            return D2SubframeEvent(-1, 0, {}, start, False)
+        self._fails = 0
+        return D2SubframeEvent(fra, pnum, fields, start, True)
+
+
+def is_geo_prn(prn: int) -> bool:
+    """BDS GEO satellites broadcast D2 (PRN 1-5 and 59+,
+    beidou_b1i_telemetry_decoder_gs.cc:268)."""
+    return 0 < prn < 6 or prn > 58

@@ -106,6 +106,12 @@ def _sig_params(sat: SatelliteSignalParams):
         # B3I: same per-epoch-sign convention as B1I at 10.23 Mcps
         return (pcm.beidou_b3i_code(sat.prn).astype(np.int8),
                 constants.BEIDOU_B3I_CODE_RATE_CPS, 10230)
+    if sat.signal == "S1":
+        from gnss_sim_receiver_tpu import signals as sigdefs
+        code = sigdefs.subchip_table(sigdefs.SBAS_L1, sat.prn).astype(np.int8)
+        # SBAS: nav_bits are per 1 ms code epoch (2 epochs per 500 sps
+        # symbol, nav.sbas.sbas_epoch_signs)
+        return code, sigdefs.SBAS_L1.chip_rate_cps, len(code)
     if sat.signal == "E6":
         from gnss_sim_receiver_tpu import signals as sigdefs
         # E6-B: one 1000-sps C/NAV symbol per 5115-chip code period
