@@ -51,14 +51,40 @@ def main(argv=None) -> int:
     print(f"  conditioned -> {len(x)} samples at {cond.fs_out/1e6:.3f} Msps")
 
     rx = make_receiver(config)
+    # RTK: base observables from a RINEX obs file (PVT.rtk_base_rinex_obs)
+    # + known base position (PVT.rtk_base_position_ecef = "x,y,z")
+    base_obs = None
+    if rx.conf.pvt.positioning_mode.startswith("RTK"):
+        from gnss_sim_receiver_tpu.models import outputs as out
+        from gnss_sim_receiver_tpu.models.rtk import BaseObservations
+        base_path = config.property("PVT.rtk_base_rinex_obs", "")
+        if not base_path:
+            print("RTK mode needs PVT.rtk_base_rinex_obs", file=sys.stderr)
+            return 2
+        epochs, prns_b, sys_b = out.read_rinex_obs(base_path)
+        base_pos = rx.conf.rtk_base_ecef_m
+        if base_pos is None:
+            print("RTK mode needs PVT.rtk_base_position_ecef",
+                  file=sys.stderr)
+            return 2
+        base_obs = BaseObservations(epochs=epochs, prns=prns_b,
+                                    systems=sys_b,
+                                    base_ecef_m=np.asarray(base_pos))
     t0 = time.time()
-    run = rx.process_array(x)
+    run = rx.process_array(x, base_observations=base_obs)
     dt = time.time() - t0
+    if run.rtk_solutions:
+        n_fix = sum(1 for _, s in run.rtk_solutions if s.fixed)
+        _, last = run.rtk_solutions[-1]
+        print(f"RTK: {len(run.rtk_solutions)} epochs, {n_fix} fixed; "
+              f"last baseline {last.baseline_m} (ratio {last.ratio:.1f})")
     from gnss_sim_receiver_tpu.models.control import ChannelState
     tracked = [p for p, s in zip(run.channel_prns, run.channel_states)
                if s == ChannelState.TRACKING]
     print(f"Channels: PRNs {tracked}")
-    print(f"Ephemerides decoded: {sorted(run.ephemerides)}")
+    # keys are PRN ints (GPS) or (system, prn) tuples — sort by string so
+    # hybrid multi-constellation runs print cleanly
+    print(f"Ephemerides decoded: {sorted(run.ephemerides, key=str)}")
     print(f"Processed {len(x)/cond.fs_out:.1f} s of signal in {dt:.1f} s "
           f"({len(x)/cond.fs_out/dt:.1f}x realtime)")
     _write_outputs(config, run)
@@ -101,10 +127,10 @@ def _write_outputs(config, run) -> None:
             out.write_geojson(config.property("PVT.geojson_output_path",
                                               "pvt.geojson"), run.solutions)
     if run.observation_epochs and config.property("PVT.flag_rinex", False):
-        prns = run.channel_prns
         out.write_rinex_obs(config.property("PVT.rinex_output_path",
                                             "pvt.obs"),
-                            run.observation_epochs, prns, week)
+                            run.observation_epochs, run.channel_prns, week,
+                            systems=run.channel_systems or None)
         if run.ephemerides:
             out.write_rinex_nav(config.property("PVT.rinex_nav_output_path",
                                                 "pvt.nav"),

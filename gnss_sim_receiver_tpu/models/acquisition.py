@@ -92,6 +92,23 @@ def _acquire_fused(x_dwells, code_fft_conj, dopplers,
                       stat2.astype(jnp.float32)])
 
 
+@partial(jax.jit, static_argnames=("need", "m", "fs", "use_cfar", "spc",
+                                   "two_steps", "n_side", "step2"))
+def _acquire_fused_dev(x2d, row, code_fft_conj, dopplers,
+                       need, m, fs, use_cfar, spc, two_steps, n_side,
+                       step2):
+    """_acquire_fused for a DEVICE-RESIDENT capture: the dwell window is
+    cut out of a [W, G] row view of the capture with a traced row index
+    (dynamic_slice over two adjacent rows), so every acquisition at any
+    cursor reuses ONE compiled program — eager per-cursor slicing would
+    compile a fresh tiny executable per distinct start index."""
+    win = jax.lax.dynamic_slice_in_dim(x2d, row, 2, axis=0).reshape(-1)
+    x_dwells = win[:need].reshape(m, need // m)
+    return _acquire_fused(x_dwells, code_fft_conj, dopplers,
+                          fs=fs, use_cfar=use_cfar, spc=spc,
+                          two_steps=two_steps, n_side=n_side, step2=step2)
+
+
 def _dwell_view(x, m: int, n: int):
     """[m, n] complex64 dwell view of x: a device array is sliced/reshaped
     on-device (no host round-trip); host arrays are uploaded once."""
@@ -166,12 +183,19 @@ class PcpsAcquisitionEngine:
             raise ValueError(f"need {m * n} samples, got {len(x)}")
         x_dwells = _dwell_view(x, m, n)
         stat, del_idx, doppler_hz = self._coarse(x_dwells)
+        # the refinement passes compute the max-to-input-power statistic;
+        # only fold them into the detection statistic when the coarse pass
+        # used the same (CFAR) statistic — with the first-vs-second-peak
+        # statistic the refinement updates Doppler only (comparing the two
+        # incomparable statistics against one threshold flips detections)
         if self.conf.variant == "fine_doppler":
             doppler_hz, stat2 = self._fine_doppler(x_dwells, doppler_hz)
-            stat = np.maximum(stat, stat2)
+            if self.conf.use_cfar_algorithm:
+                stat = np.maximum(stat, stat2)
         elif self.conf.make_two_steps:
             doppler_hz, stat2 = self._refine(x_dwells, doppler_hz)
-            stat = np.maximum(stat, stat2)
+            if self.conf.use_cfar_algorithm:
+                stat = np.maximum(stat, stat2)
         delay = np.asarray(del_idx, dtype=np.float64)
         if self.conf.bit_transition_flag:
             delay = np.mod(delay, self.n_coherent)   # peak repeats at +N
@@ -186,15 +210,19 @@ class PcpsAcquisitionEngine:
 
     def acquire_from(self, x_host, start: int) -> AcqResults:
         """Acquisition over capture window [start, start+n_samples_needed)
-        of the full HOST capture: the window is sliced host-side, uploaded
-        once, and the coarse grid + two-step refinement run in one fused
-        dispatch with one packed device->host pull.  Falls back to
-        `acquire` for the tong / fine_doppler variants."""
+        of the full capture: the coarse grid + two-step refinement run in
+        one fused dispatch with one packed device->host pull.  A host
+        capture has its window sliced host-side and uploaded; a
+        device-resident capture is windowed ON DEVICE with a traced row
+        index (_acquire_fused_dev), so no per-cursor programs compile.
+        Falls back to `acquire` for the tong / fine_doppler variants."""
         if self.conf.variant != "pcps":
             return self.acquire(x_host[start:start + self.n_samples_needed],
                                 samplestamp=start)
         conf = self.conf
         m, n = conf.max_dwells, self.fft_size
+        if isinstance(x_host, jnp.ndarray):
+            return self._acquire_from_device(x_host, start)
         x_dwells = _dwell_view(x_host[start:start + m * n], m, n)
         buf = np.asarray(_acquire_fused(
             x_dwells, self.code_fft_conj, self.dopplers,
@@ -204,14 +232,47 @@ class PcpsAcquisitionEngine:
             two_steps=bool(conf.make_two_steps),
             n_side=int(conf.num_doppler_bins_step2),
             step2=float(conf.doppler_step2)))
-        stat = np.maximum(buf[0], buf[3]).astype(np.float64)
+        return self._finish_fused(buf, int(start))
+
+    def _acquire_from_device(self, x, start: int) -> AcqResults:
+        conf = self.conf
+        m = conf.max_dwells
+        need = m * self.fft_size
+        g = -(-need // 128) * 128
+        cache = getattr(self, "_dev_cache", None)
+        if cache is None or cache[0] is not x:
+            w = len(x) // g
+            if w < 2:
+                raise ValueError("device capture shorter than one "
+                                 "acquisition window pair")
+            self._dev_cache = (x, x[: w * g].reshape(w, g), w)
+        _, x2d, w = self._dev_cache
+        row = min(max(int(start) // g, 0), w - 2)
+        buf = np.asarray(_acquire_fused_dev(
+            x2d, jnp.int32(row), self.code_fft_conj, self.dopplers,
+            need=need, m=m, fs=float(conf.fs_in),
+            use_cfar=bool(conf.use_cfar_algorithm),
+            spc=self.samples_per_chip,
+            two_steps=bool(conf.make_two_steps),
+            n_side=int(conf.num_doppler_bins_step2),
+            step2=float(conf.doppler_step2)))
+        return self._finish_fused(buf, row * g)
+
+    def _finish_fused(self, buf: np.ndarray, samplestamp: int) -> AcqResults:
+        conf = self.conf
+        # fold the step-two (max-to-input-power) statistic in only when the
+        # coarse statistic is the same CFAR one — see acquire()
+        if conf.use_cfar_algorithm:
+            stat = np.maximum(buf[0], buf[3]).astype(np.float64)
+        else:
+            stat = buf[0].astype(np.float64)
         delay = buf[2].astype(np.float64)
         if conf.bit_transition_flag:
             delay = np.mod(delay, self.n_coherent)
         return AcqResults(
             detected=stat > self.threshold, test_stat=stat,
             delay_samples=delay, doppler_hz=buf[1].astype(np.float64),
-            threshold=self.threshold, samplestamp=int(start))
+            threshold=self.threshold, samplestamp=int(samplestamp))
 
     def _coarse(self, x_dwells):
         grid = pcps.pcps_grid(x_dwells, self.code_fft_conj, self.dopplers,
@@ -235,19 +296,52 @@ class PcpsAcquisitionEngine:
         """One batched narrow-grid pass: every channel searches its own
         (2*n_side+1)-bin Doppler set centered on centers_hz — one device
         dispatch for all channels (pcps_grid_per_channel)."""
+        dop, stat, _ = self._narrow_grid_full(x_dwells, centers_hz,
+                                              step_hz, n_side)
+        return dop, stat
+
+    def _narrow_grid_full(self, x_dwells, centers_hz, step_hz, n_side):
+        """_narrow_grid_step + the winning code-delay index."""
         offsets = ((np.arange(2 * n_side + 1) - n_side) * step_hz)
         dops = (np.asarray(centers_hz, np.float64)[:, None]
                 + offsets[None, :]).astype(np.float32)
         grid = pcps.pcps_grid_per_channel(
             x_dwells, self.code_fft_conj, jnp.asarray(dops),
             float(self.conf.fs_in))
-        stat, dop_idx, _ = pcps.max_to_input_power_stat(
+        stat, dop_idx, del_idx = pcps.max_to_input_power_stat(
             grid, jnp.float32(x_dwells.shape[0]))
         buf = np.asarray(jnp.stack([stat.astype(jnp.float32),
-                                    dop_idx.astype(jnp.float32)]))
+                                    dop_idx.astype(jnp.float32),
+                                    del_idx.astype(jnp.float32)]))
         dop_idx = buf[1].astype(np.int64)
         best = np.take_along_axis(dops, dop_idx[:, None], axis=1)[:, 0]
-        return best.astype(np.float64), buf[0].astype(np.float64)
+        return (best.astype(np.float64), buf[0].astype(np.float64),
+                buf[2].astype(np.float64))
+
+    def acquire_assisted(self, x, start: int, centers_hz,
+                         span_hz: float = 250.0,
+                         step_hz: float = 62.5) -> AcqResults:
+        """Doppler-ASSISTED acquisition: each channel searches only a
+        +-span_hz grid around its own predicted Doppler (primary-band
+        lock scaled by the carrier ratio) in ONE dwell — the secondary-
+        band assisted search of the reference flowgraph (project_doppler,
+        gnss_flowgraph.cc:1774-1795 + the assisted acq dispatch
+        :2615-2750)."""
+        conf = self.conf
+        m, n = conf.max_dwells, self.fft_size
+        x_win = x[start:start + m * n]
+        x_dwells = _dwell_view(x_win, m, n)
+        n_side = max(1, int(round(span_hz / step_hz)))
+        dop, stat, delay = self._narrow_grid_full(
+            x_dwells, np.asarray(centers_hz, np.float64), step_hz, n_side)
+        n_cells = self.fft_size * (2 * n_side + 1)
+        thr = (pcps.cfar_threshold(conf.pfa, n_cells, conf.max_dwells)
+               if conf.pfa > 0 else conf.threshold)
+        if conf.bit_transition_flag:
+            delay = np.mod(delay, self.n_coherent)
+        return AcqResults(
+            detected=stat > thr, test_stat=stat, delay_samples=delay,
+            doppler_hz=dop, threshold=thr, samplestamp=int(start))
 
     def _refine(self, x_dwells, coarse_doppler_hz):
         """Step-two narrow-grid Doppler refinement around each channel's

@@ -292,8 +292,9 @@ def pvt_conf_from_config(config: Configuration) -> PvtConf:
     rtklib_pvt.cc:78-917 — the solver-behavior subset; output printers are
     separate keys consumed by __main__._write_outputs)."""
     mode = config.property("PVT.positioning_mode", "Single")
-    if mode not in ("Single", "Static", "PPP_Static", "PPP_Kinematic",
-                    "Kinematic", "DGPS", "RTK_Static", "RTK_Kinematic"):
+    if mode not in ("Single", "Static", "Kinematic", "DGPS",
+                    "PPP_Static", "PPP_Kinematic",
+                    "RTK_Static", "RTK_Kinematic"):
         raise NotImplementedError(f"PVT.positioning_mode {mode}")
     return PvtConf(
         positioning_mode=mode,
@@ -343,14 +344,24 @@ def receiver_conf_from_config(config: Configuration) -> ReceiverConf:
             "Observables.smoothing_factor", 0),
     )
     pvt = pvt_conf_from_config(config)
+    rtk = None
+    rtk_base = None
+    if pvt.positioning_mode.startswith("RTK"):
+        rtk = rtk_conf_from_config(config)
+        base_str = config.property("PVT.rtk_base_position_ecef", "")
+        if base_str:
+            rtk_base = tuple(float(v) for v in base_str.split(","))
     in_acq = config.property("Channels.in_acquisition", 0)
     return ReceiverConf(
+        rtk=rtk, rtk_base_ecef_m=rtk_base,
         pinned_channels=_pinned_channels(config, 0, n_1c),
         fs=fs, prns=tuple(range(1, 33)), max_channels=max(n_1c, 1),
         max_acq_channels=(min(in_acq, n_1c) if in_acq and n_1c
                           else max(n_1c, 1)),
         acq=acq, trk=trk, obs=obs, pvt=pvt,
-        output_rate_ms=config.property("PVT.output_rate_ms", 20),
+        output_rate_ms=config.property("Observables.observable_interval_ms",
+                                       20),
+        pvt_rate_ms=config.property("PVT.output_rate_ms", 0),
         enable_pvt_kf=config.property("PVT.enable_pvt_kf", False),
         chains=tuple(chains), gps_chain=(n_1c > 0),
         # fork hybrid/pseudolite + rx clock keys (rtklib_pvt.cc:910-917,

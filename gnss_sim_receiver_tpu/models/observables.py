@@ -64,9 +64,18 @@ _HIST_KEYS = ("t", "tow", "dop", "ph", "cn0")
 
 
 class ObservablesEngine:
-    def __init__(self, conf: ObsConf, n_channels: int):
+    def __init__(self, conf: ObsConf, n_channels: int,
+                 carrier_freq_hz=None):
         self.conf = conf
         self.n = n_channels
+        # per-channel carrier wavelength for Hatch smoothing: the reference
+        # smooths with each signal's own wavelength; a single global L1
+        # lambda mis-aids L5/E5/E6/B3 channels
+        if carrier_freq_hz is not None:
+            self._lam = (constants.SPEED_OF_LIGHT_M_S
+                         / np.asarray(carrier_freq_hz, np.float64))
+        else:
+            self._lam = np.full(n_channels, conf.carrier_wavelength_m)
         self.tick_step = int(round(conf.fs * conf.interval_ms / 1000.0))
         self.next_tick = self.tick_step
         self.t_rx_tow_ms: float | None = None
@@ -94,11 +103,18 @@ class ObservablesEngine:
         sc = np.asarray(track_outs["sample_counter"], np.float64)
         cps = np.asarray(track_outs["code_phase_samples"], np.float64)
         t_all = (sc - cps) / self.conf.fs
+        ph = np.asarray(track_outs["acc_phase_cycles"], np.float64)
+        # half-cycle correction when the PLL is known to be locked 180 deg
+        # off (telemetry frame sync matched an inverted preamble) — the
+        # reference's Flag_PLL_180_deg_phase_locked + GPS_PI correction
+        half = getattr(tlm_outs, "phase_half_cycles", None)
+        if half is not None:
+            ph = ph + np.asarray(half, np.float64)[None, :]
         cols = dict(
             t=t_all,
             tow=np.asarray(tlm_outs.tow_at_epoch_ms, np.float64),
             dop=np.asarray(track_outs["carrier_doppler_hz"], np.float64),
-            ph=np.asarray(track_outs["acc_phase_cycles"], np.float64),
+            ph=ph,
             cn0=np.asarray(track_outs["cn0_db_hz"], np.float64))
         valid = np.asarray(track_outs["valid"], bool) & tlm_outs.tow_valid
         keep = self.conf.history_len
@@ -210,13 +226,13 @@ class ObservablesEngine:
         # optional Hatch smoothing (smooth_pseudoranges)
         m = self.conf.smoothing_factor
         if m > 1:
-            lam = self.conf.carrier_wavelength_m
             for c in range(self.n):
                 if not valid[c]:
                     self._sm_lock[c] = False
                     continue
                 if self._sm_lock[c]:
                     f = (m - 1.0) / m
+                    lam = self._lam[c]
                     pr[c] = (f * self._sm_last_pr[c] + pr[c] / m
                              + lam * f * (ph[c] - self._sm_last_ph[c]))
                 self._sm_last_pr[c] = pr[c]

@@ -23,6 +23,7 @@ import dataclasses
 
 import numpy as np
 
+from gnss_sim_receiver_tpu import constants
 from gnss_sim_receiver_tpu.models.acquisition import (AcqConf,
                                                       PcpsAcquisitionEngine)
 from gnss_sim_receiver_tpu.models.control import (AcquisitionManager,
@@ -345,7 +346,22 @@ class ReceiverConf:
     pvt: PvtConf | None = None
     chunk_epochs: int = 1000          # 1 ms epochs per chunk (chunk ~ 1 s)
     output_rate_ms: int = 20
+    # PVT solve cadence (reference PVT.output_rate_ms vs
+    # Observables.observable_interval_ms split): observable epochs form
+    # every output_rate_ms; the solver runs only on epochs aligned to
+    # pvt_rate_ms.  0 = solve on every observable epoch.
+    pvt_rate_ms: int = 0
     enable_pvt_kf: bool = False        # PVT.enable_pvt_kf (Pvt_Kf analogue)
+    # fork orbital-dynamics EKF (PVT.enable_pvt_ekf ->
+    # models.pvt_ekf_orbital.PvtEkfOrbital, rtklib_pvt.cc:491-515 hook);
+    # pvt_ekf holds an optional PvtEkfConf
+    enable_pvt_ekf: bool = False
+    pvt_ekf: object = None
+    # telemetry fail-safe: drop a TRACKING channel that produced no valid
+    # TOW for this long (gps_l1_ca_telemetry_decoder_gs.cc:448-460 +
+    # the bit-sync time limit, dll_pll_veml_tracking.cc:1808-1815).
+    # 0 disables.
+    tlm_timeout_s: float = 30.0
     chains: tuple = ()                # extra SignalChainConfs beyond GPS L1;
     # set gps_chain=False to drop the implicit GPS L1 chain entirely
     gps_chain: bool = True
@@ -362,6 +378,11 @@ class ReceiverConf:
     share_rx_clock_bias: bool = False
     # GPS-chain channel index -> PRN pinning (Channel<i>.satellite)
     pinned_channels: dict = dataclasses.field(default_factory=dict)
+    # RTK relative positioning (PVT.positioning_mode = RTK_*): engine conf
+    # (models.rtk.RtkConf) + known base position; the base observables
+    # stream is passed to process_array (rtklib_rtkpos.cc relpos roles)
+    rtk: object = None
+    rtk_base_ecef_m: tuple = None
 
     def __post_init__(self):
         if self.acq is None:
@@ -412,6 +433,12 @@ class ReceiverRun:
     clock_differences: list = dataclasses.field(default_factory=list)
     # rx clock sharing records: [(rx_time_s, tag_tow_s, bias_s, prn)]
     rx_clock_bias_log: list = dataclasses.field(default_factory=list)
+    # RTK products: [(rx_time_s, models.rtk.RtkSolution)] when
+    # PVT.positioning_mode = RTK_* and a base stream was provided
+    rtk_solutions: list = dataclasses.field(default_factory=list)
+    # fork orbital EKF products: [(rx_time_s, pos_ecef, vel_ecef,
+    # clock_bias_s, clock_drift_ss)] when PVT.enable_pvt_ekf
+    ekf_solutions: list = dataclasses.field(default_factory=list)
 
 
 class _ChainRt:
@@ -433,31 +460,83 @@ class _ChainRt:
         self.acq_engines = {}
         self.done = 0
         self.total = 0
+        self.decim = 1                # set by the receiver (tick stride)
 
     def eph_key(self, prn: int):
         return prn if self.spec.system == "GPS" else (self.spec.system, prn)
 
 
-class Receiver:
-    def __init__(self, conf: ReceiverConf):
+def _expand_sc(sc_dec: np.ndarray, rows: np.ndarray, n_epochs: int,
+               nominal: int) -> np.ndarray:
+    """Reconstruct the per-epoch sample counter [T, C] from the decimated
+    one [Td, C]: linear interpolation over epoch index (the counter drifts
+    from linear only by the Doppler rate — ~1e-7 samples over a tick)."""
+    t = np.arange(n_epochs, dtype=np.float64)
+    out = np.empty((n_epochs, sc_dec.shape[1]), np.float64)
+    for c in range(sc_dec.shape[1]):
+        out[:, c] = np.interp(t, rows.astype(np.float64),
+                              sc_dec[:, c].astype(np.float64))
+    # extrapolate the ends with the nominal epoch length
+    first, last = rows[0], rows[-1]
+    if first > 0:
+        out[:first] = out[first] - (first - t[:first, None]) * nominal
+    if last < n_epochs - 1:
+        out[last + 1:] = out[last] + (t[last + 1:, None] - last) * nominal
+    return out
+
+
+def _channel_maps(chains, n_total):
+    prn_map = [0] * n_total
+    sys_map = ["GPS"] * n_total
+    for rt in chains:
+        for c in range(rt.spec.n_channels):
+            prn_map[rt.offset + c] = rt.mgr.channels[c].prn
+            sys_map[rt.offset + c] = rt.spec.system
+    return prn_map, sys_map
+
+
+class ReceiverSession:
+    """Live receiver instance: the ControlThread + flowgraph event-loop
+    role (control_thread.cc:373 run / gnss_flowgraph.cc wiring), made
+    incremental.  Two input modes:
+
+    - `attach_array(x)` + `run_to_end()`: the whole capture is known (the
+      one-shot batch path process_array wraps);
+    - `feed(samples)` repeatedly (+ `run_to_end()` at EOF): a streaming
+      chunk-feed — samples accumulate in a host ring buffer, the engine
+      processes as many chunks as the buffered data allows on every feed,
+      and consumed samples are trimmed.  This is the live front-end path
+      (File_Signal_Source -> flowgraph streaming in the reference).
+
+    `result()` snapshots a ReceiverRun at any time.
+
+    Control-plane commands (the TcpCmdInterface function set,
+    tcp_cmd_interface.cc:46-176): `standby()` parks every channel and
+    discards inflow; `coldstart()` also drops assistance;
+    `warmstart()` keeps ephemerides; `hotstart()` keeps ephemerides and
+    the last fix; `status_text()` reports channels + last PVT.  Use
+    `on_command(name)` for the wire-protocol names.
+
+    Fail-safes: a channel TRACKING longer than `conf.tlm_timeout_s`
+    without ever producing a valid TOW is dropped back to acquisition —
+    the telemetry-timeout + bit-sync-time-limit roles
+    (gps_l1_ca_telemetry_decoder_gs.cc:448-460,
+    dll_pll_veml_tracking.cc:1808-1815; no TOW subsumes no bit sync).
+    """
+
+    def __init__(self, conf: ReceiverConf, collect_track_outputs=False,
+                 ephemerides=None, base_observations=None):
+        mode = conf.pvt.positioning_mode
+        if mode.startswith("PPP") or mode == "DGPS":
+            # modes the framework does not implement must fail loudly at
+            # run time, not silently fall through to single-point LS
+            # (round-2 verdict: validate-then-ignore).  Parsing a conf
+            # naming them stays legal — reference confs default to
+            # PPP_Static.
+            raise NotImplementedError(
+                f"PVT.positioning_mode {mode} is not implemented")
         self.conf = conf
-
-    def process_array(self, x: np.ndarray,
-                      collect_track_outputs: bool = False,
-                      ephemerides: dict | None = None) -> ReceiverRun:
-        """Run the whole receiver over an in-memory sample array.
-
-        `ephemerides` preloads assistance data for a warm start (the
-        reference's AGNSS / XML-assisted start, control_thread.cc
-        assist_GNSS + read_assistance_from_XML): PVT can fix as soon as TOW
-        is decoded, without waiting for subframes 1-3.  Keys: PRN int for
-        GPS, (system, prn) otherwise.
-
-        Multi-constellation note: pseudoranges place every TOW on a common
-        timescale — valid for the simulator (GGTO = 0) and within a single
-        constellation; broadcast GGTO correction is a PVT extension hook.
-        """
-        conf = self.conf
+        self.collect = bool(collect_track_outputs)
         chains = []
         n_total = 0
         for spec in conf.all_chains():
@@ -465,260 +544,641 @@ class Receiver:
             n_total += spec.n_channels
             # lean packed pulls (hot-path planes only) unless the caller
             # wants the full diagnostic set
-            chains[-1].trk.full_outputs = bool(collect_track_outputs)
+            chains[-1].trk.full_outputs = self.collect
+        self.chains = chains
+        self.n_total = n_total
         # cross-band Galileo TOW sharing: E6-B C/NAV is timeless, its
         # channels stamp TOW published by the other Galileo bands
         # (galileo_tow_map.cc role)
-        tow_map = None
+        self.tow_map = None
         if any(rt.spec.signal == "E6" for rt in chains):
             from gnss_sim_receiver_tpu.models.telemetry import GalileoTowMap
-            tow_map = GalileoTowMap(conf.fs)
+            self.tow_map = GalileoTowMap(conf.fs)
             for rt in chains:
                 if rt.spec.signal == "E6":
-                    rt.tlm.tow_map = tow_map
-        obs_eng = ObservablesEngine(conf.obs, n_channels=n_total)
-        ephemerides = dict(ephemerides or {})
-        solutions = []
-        obs_epochs = []
-        pvt_kf = None
+                    rt.tlm.tow_map = self.tow_map
+        self.freq_map = np.concatenate(
+            [np.full(rt.spec.n_channels, rt.spec.trk.carrier_freq_hz)
+             for rt in chains])
+        self.obs_eng = ObservablesEngine(conf.obs, n_channels=n_total,
+                                         carrier_freq_hz=self.freq_map)
+        self.ephemerides = dict(ephemerides or {})
+        self.solutions = []
+        self.obs_epochs = []
+        self.pvt_kf = None
         if conf.enable_pvt_kf:
             from gnss_sim_receiver_tpu.models.pvt_kf import PvtKf
-            pvt_kf = PvtKf()
-        collected = [] if collect_track_outputs else None
+            self.pvt_kf = PvtKf()
+        self.collected = [] if self.collect else None
 
-        aowr = None
+        self.aowr = None
         if conf.hybrid_mode and conf.ps_channel >= 0:
             from gnss_sim_receiver_tpu.models.hybrid import (AowrConf,
                                                              AowrTimeTransfer)
             # carrier-phase aiding scales by the ps channel's actual signal
             # frequency (the reference's SIGNAL_FREQ_MAP lookup,
-            # rtklib_pvt_gs.cc) — not the L1 default, in case the ps channel
-            # lives on a non-L1 chain
+            # rtklib_pvt_gs.cc) — not the L1 default, in case the ps
+            # channel lives on a non-L1 chain
             ps_freq = constants.GPS_L1_FREQ_HZ
             for rt in chains:
-                if rt.offset <= conf.ps_channel < rt.offset + rt.spec.n_channels:
+                if rt.offset <= conf.ps_channel < (rt.offset
+                                                   + rt.spec.n_channels):
                     ps_freq = rt.spec.trk.carrier_freq_hz
                     break
-            aowr = AowrTimeTransfer(AowrConf(r_ps_true_m=conf.ps_range_m,
-                                             carrier_freq_hz=ps_freq))
-        clock_differences = []
-        rx_clock_bias_log = []
-        n_fixes = 0
-        last_fix_time = None
+            self.aowr = AowrTimeTransfer(
+                AowrConf(r_ps_true_m=conf.ps_range_m,
+                         carrier_freq_hz=ps_freq))
+        self.clock_differences = []
+        self.rx_clock_bias_log = []
+        self.n_fixes = 0
+        self.last_fix = None
+        self.last_fix_time = None
 
-        from gnss_sim_receiver_tpu.utils import xfer
-        x_dev = xfer.device_put_complex(
-            np.ascontiguousarray(x, dtype=np.complex64))
+        # RTK relative positioning (PVT.positioning_mode = RTK_*)
+        self.base_observations = base_observations
+        self.rtk_eng = None
+        self.rtk_solutions = []
+        if conf.pvt.positioning_mode.startswith("RTK"):
+            if base_observations is None:
+                raise ValueError(
+                    "PVT.positioning_mode is RTK_* but no "
+                    "base_observations stream was provided")
+            from gnss_sim_receiver_tpu.models.rtk import RtkConf, RtkEngine
+            base_ecef = (np.asarray(conf.rtk_base_ecef_m, np.float64)
+                         if conf.rtk_base_ecef_m is not None
+                         else np.asarray(base_observations.base_ecef_m,
+                                         np.float64))
+            rtk_conf = conf.rtk if conf.rtk is not None else RtkConf(
+                mode=("kinematic"
+                      if conf.pvt.positioning_mode == "RTK_Kinematic"
+                      else "static"))
+            self.rtk_eng = RtkEngine(rtk_conf, base_ecef_m=base_ecef)
+
+        # fork orbital-dynamics EKF (PVT.enable_pvt_ekf,
+        # rtklib_pvt.cc:491-515 hook -> models.pvt_ekf_orbital)
+        self.pvt_ekf = None
+        if getattr(conf, "enable_pvt_ekf", False):
+            from gnss_sim_receiver_tpu.models.pvt_ekf_orbital import (
+                PvtEkfConf, PvtEkfOrbital)
+            ekf_conf = conf.pvt_ekf if conf.pvt_ekf is not None \
+                else PvtEkfConf()
+            self.pvt_ekf = PvtEkfOrbital(ekf_conf)
+        self.ekf_solutions = []
+
+        # input state: absolute sample indexing is shared by both modes
+        self._array_mode = False
+        self._x = None                # array mode: full capture (host/dev)
+        self._buf = np.zeros(0, np.complex64)   # streaming ring buffer
+        self._base = 0                # absolute index of _buf[0]
+        self._end_abs = 0             # absolute capture length so far
+        self.cursor = 0               # acquisition head (absolute sample)
+        self.chunk_mult = 1
+        self._standby = False
+        # per-channel telemetry fail-safe state (global channel index)
+        self._trk_start_abs = np.full(n_total, -1, np.int64)
+        self._tow_seen = np.zeros(n_total, bool)
 
         # chunk wall-duration from the (legacy) 1 ms-epoch count
-        chunk_s = conf.chunk_epochs * 1e-3
+        self.chunk_s = conf.chunk_epochs * 1e-3
         for rt in chains:
-            rt.total = (len(x) - rt.margin) // rt.nominal - 2
-        cursor = 0                # absolute sample index of processing head
-        last_fix = None
+            # device->host decimation stride for the observable planes:
+            # one kept epoch per observable tick (capped at 90 ms spacing
+            # so the observables history interpolation stays bracketed)
+            epoch_ms = rt.nominal / conf.fs * 1000.0
+            rt.decim = (1 if self.collect else
+                        max(1, int(min(conf.obs.interval_ms, 90.0)
+                                   // epoch_ms)))
 
-        while any(rt.done < rt.total for rt in chains):
-            tick_bounds = []      # per-chain "observables safe up to" sample
-            progressed = False
-            staged = []           # (rt, tracking, n, in-flight chunk handle)
-            # ---- phase 1: per-chain FSM + device dispatch ------------------
-            # every chain's chunk is dispatched (and its device->host copy
-            # started) before ANY chunk is pulled, so the transfers of all
-            # chains overlap — one transfer latency per chunk, not per chain
-            for rt in chains:
-                if rt.done >= rt.total:
-                    continue
-                mgr, spec = rt.mgr, rt.spec
-                # --- acquisition scheduling on idle channels ---------------
-                mgr.schedule()
-                acquiring = mgr.acquiring_channels()
-                if acquiring:
-                    prns_search = tuple(mgr.channels[c].prn
-                                        for c in acquiring)
-                    acq_eng = rt.acq_engines.get(prns_search)
-                    if acq_eng is None:
-                        acq_eng = PcpsAcquisitionEngine(
-                            spec.acq, prns=prns_search,
-                            code_provider=spec.code_provider,
-                            sc_rate=spec.sc_rate)
-                        rt.acq_engines[prns_search] = acq_eng
-                    need = acq_eng.n_samples_needed
-                    if cursor + need <= len(x):
-                        # fused search: one dispatch, one packed pull
-                        res = acq_eng.acquire_from(x, cursor)
-                        for k, c in enumerate(acquiring):
-                            mgr.on_acq_result(c, bool(res.detected[k]),
-                                              float(res.doppler_hz[k]))
-                            if mgr.channels[c].state == ChannelState.TRACKING:
-                                prn = mgr.channels[c].prn
-                                rt.trk.set_channel_prn(c, prn)
-                                rt.trk.start_tracking(
-                                    c, float(res.doppler_hz[k]),
-                                    int(res.samplestamp
-                                        + res.delay_samples[k]))
-                                rt.tlm.reset_channel(
-                                    c, prn, epoch_base=rt.epoch_base[c])
-                                obs_eng.reset_channel(rt.offset + c)
+    # -- input ----------------------------------------------------------------
 
-                # --- tracking chunk ----------------------------------------
-                tracking = mgr.tracking_channels()
-                chunk_n = int(round(chunk_s / (rt.nominal / conf.fs)))
-                if not tracking:
-                    rt.done += min(chunk_n, rt.total - rt.done)
-                    continue
-                # late-acquired channels shift the chain's window: only as
-                # many epochs as fit before the stream end
-                n = min(chunk_n, rt.total - rt.done,
-                        rt.trk.epochs_that_fit(len(x)))
-                if 0 < n < chunk_n:
-                    # quantize tail chunks to powers of two: a bounded set
-                    # of jitted shapes (each n_epochs is a static arg), so
-                    # arbitrary tails never trigger fresh XLA compiles
-                    n = 1 << (n.bit_length() - 1)
-                if n <= 0:
+    def attach_array(self, x) -> None:
+        """One-shot mode: the whole capture (host np.ndarray or a
+        device-resident jax.Array, e.g. the device signal generator's
+        output)."""
+        from gnss_sim_receiver_tpu.utils import xfer
+        if isinstance(x, np.ndarray):
+            self._x = xfer.device_put_complex(
+                np.ascontiguousarray(x, dtype=np.complex64))
+        else:
+            self._x = x
+        self._array_mode = True
+        self._end_abs = len(x)
+        self._recompute_totals()
+
+    def feed(self, samples: np.ndarray) -> None:
+        """Streaming mode: append conditioned samples, process whatever
+        full chunks the buffered data now allows."""
+        if self._array_mode:
+            raise RuntimeError("session is in array mode")
+        samples = np.asarray(samples, np.complex64)
+        if self._standby:
+            # standby consumes and drops inflow (the reference's flowgraph
+            # standby keeps the source draining, gnss_flowgraph.cc:1991)
+            self._base += len(self._buf) + len(samples)
+            self._buf = np.zeros(0, np.complex64)
+            self._end_abs = self._base
+            self.cursor = max(self.cursor, self._base)
+            return
+        self._buf = np.concatenate([self._buf, samples])
+        self._end_abs = self._base + len(self._buf)
+        self._recompute_totals()
+        self._pump(final=False)
+        self._trim()
+
+    def run_to_end(self) -> None:
+        """Process everything remaining (EOF in streaming mode)."""
+        self._recompute_totals()
+        self._pump(final=True)
+
+    # -- control plane (TcpCmdInterface command set) ---------------------------
+
+    def _reset_channels(self) -> None:
+        for rt in self.chains:
+            for c in range(rt.spec.n_channels):
+                st = rt.mgr.channels[c]
+                if st.state == ChannelState.TRACKING:
+                    rt.trk.stop_channel(c)
+                st.state = ChannelState.IDLE
+                st.prn = 0
+                rt.tlm.reset_channel(c, None, epoch_base=rt.epoch_base[c])
+                self.obs_eng.reset_channel(rt.offset + c)
+            # rebuild the PRN rotation pool
+            rt.mgr.__init__(rt.spec.prns, rt.spec.n_channels,
+                            max_acq_channels=rt.spec.max_acq_channels,
+                            pinned=rt.spec.pinned)
+        self._trk_start_abs[:] = -1
+        self._tow_seen[:] = False
+        self.chunk_mult = 1
+
+    def standby(self) -> None:
+        """Park every channel; inflow is discarded until a *start."""
+        self._reset_channels()
+        self._standby = True
+
+    def coldstart(self) -> None:
+        """Drop assistance + fixes, restart acquisition from scratch."""
+        self.ephemerides.clear()
+        self.last_fix = None
+        self.last_fix_time = None
+        self.n_fixes = 0
+        self._reset_channels()
+        self._standby = False
+
+    def warmstart(self) -> None:
+        """Restart channels, keep ephemerides (assisted start)."""
+        self._reset_channels()
+        self._standby = False
+
+    def hotstart(self) -> None:
+        """Restart channels, keep ephemerides AND the last fix (PVT warm
+        seed)."""
+        self._reset_channels()
+        self._standby = False
+
+    def status_text(self) -> str:
+        prn_map, sys_map = _channel_maps(self.chains, self.n_total)
+        states = []
+        for rt in self.chains:
+            states.extend(rt.mgr.channels[c].state.name
+                          for c in range(rt.spec.n_channels))
+        # single line (the TCP command protocol is line-based)
+        parts = ["standby" if self._standby else "running"]
+        parts += [f"ch{i}={s}:{p}:{st}" for i, (p, s, st)
+                  in enumerate(zip(prn_map, sys_map, states))]
+        if self.last_fix is not None:
+            ecef = self.last_fix.rx_ecef_m
+            parts.append("fix=%.3f,%.3f,%.3f nsats=%d"
+                         % (ecef[0], ecef[1], ecef[2], self.last_fix.n_sats))
+        else:
+            parts.append("fix=none")
+        return " ".join(parts)
+
+    def on_command(self, name: str) -> str:
+        """Wire-protocol dispatch (tcp_cmd_interface.cc handler names)."""
+        name = name.strip().lower()
+        if name == "status":
+            return self.status_text()
+        if name == "standby":
+            self.standby()
+            return "OK standby"
+        if name in ("reset", "coldstart"):
+            self.coldstart()
+            return f"OK {name}"
+        if name == "warmstart":
+            self.warmstart()
+            return "OK warmstart"
+        if name == "hotstart":
+            self.hotstart()
+            return "OK hotstart"
+        return f"ERROR unknown command {name}"
+
+    # -- core loop -------------------------------------------------------------
+
+    def _recompute_totals(self) -> None:
+        for rt in self.chains:
+            rt.total = max((self._end_abs - rt.margin) // rt.nominal - 2, 0)
+
+    def _chunk_n(self, rt) -> int:
+        return int(round(self.chunk_s * self.chunk_mult
+                         / (rt.nominal / self.conf.fs)))
+
+    def _ready(self, final: bool) -> bool:
+        live = [rt for rt in self.chains if rt.done < rt.total]
+        if not live:
+            return False
+        if final:
+            return True
+        # without EOF, only run when every live chain can take a FULL
+        # chunk (tails wait for more data)
+        return all(rt.total - rt.done >= self._chunk_n(rt) for rt in live)
+
+    def _pump(self, final: bool) -> None:
+        if self._standby:
+            return
+        while self._ready(final):
+            if not self._iterate(final):
+                break   # data-starved (a late-started channel needs more
+                #         samples than the buffered totals suggest)
+
+    def _acq_input(self):
+        """(array-like, base) for PcpsAcquisitionEngine.acquire_from."""
+        if self._array_mode:
+            return self._x, 0
+        return self._buf, self._base
+
+    def _window(self):
+        """(samples, x_abs_start) covering every active channel position
+        for TrackingEngine.process_begin."""
+        if self._array_mode:
+            return self._x, 0
+        return self._buf, self._base
+
+    def _trim(self) -> None:
+        """Drop streamed samples no chain can still need."""
+        if self._array_mode or not len(self._buf):
+            return
+        keep_from = self.cursor
+        margin = max(rt.margin for rt in self.chains)
+        for rt in self.chains:
+            act = rt.trk.active_host
+            if act.any():
+                keep_from = min(keep_from, int(rt.trk.abs_start[act].min()))
+        keep_from = max(self._base, keep_from - 4 * margin)
+        drop = keep_from - self._base
+        if drop > 0:
+            self._buf = self._buf[drop:]
+            self._base = keep_from
+
+    def _iterate(self, final: bool) -> bool:
+        """One FSM + chunk iteration.  Returns False when nothing could
+        advance (caller should wait for more data)."""
+        conf = self.conf
+        chains = self.chains
+        end_abs = self._end_abs
+        tick_bounds = []      # per-chain "observables safe up to" sample
+        progressed = False
+        advanced = False      # any done/cursor movement at all
+        quiet = True          # no FSM event this iteration
+        staged = []           # (rt, tracking, n, in-flight chunk handle)
+        # ---- phase 1: per-chain FSM + device dispatch ----------------------
+        # every chain's chunk is dispatched (and its device->host copy
+        # started) before ANY chunk is pulled, so the transfers of all
+        # chains overlap — one transfer latency per chunk, not per chain
+        for rt in chains:
+            if rt.done >= rt.total:
+                continue
+            mgr, spec = rt.mgr, rt.spec
+            # --- acquisition scheduling on idle channels --------------------
+            mgr.schedule()
+            acquiring = mgr.acquiring_channels()
+            if acquiring:
+                quiet = False
+                prns_search = tuple(mgr.channels[c].prn for c in acquiring)
+                acq_eng = rt.acq_engines.get(prns_search)
+                if acq_eng is None:
+                    acq_eng = PcpsAcquisitionEngine(
+                        spec.acq, prns=prns_search,
+                        code_provider=spec.code_provider,
+                        sc_rate=spec.sc_rate)
+                    rt.acq_engines[prns_search] = acq_eng
+                need = acq_eng.n_samples_needed
+                acq_x, acq_base = self._acq_input()
+                if self.cursor + need <= end_abs:
+                    # fused search: one dispatch, one packed pull
+                    res = acq_eng.acquire_from(acq_x,
+                                               self.cursor - acq_base)
+                    for k, c in enumerate(acquiring):
+                        mgr.on_acq_result(c, bool(res.detected[k]),
+                                          float(res.doppler_hz[k]))
+                        if mgr.channels[c].state == ChannelState.TRACKING:
+                            prn = mgr.channels[c].prn
+                            rt.trk.set_channel_prn(c, prn)
+                            rt.trk.start_tracking(
+                                c, float(res.doppler_hz[k]),
+                                int(acq_base + res.samplestamp
+                                    + res.delay_samples[k]))
+                            rt.tlm.reset_channel(
+                                c, prn, epoch_base=rt.epoch_base[c])
+                            self.obs_eng.reset_channel(rt.offset + c)
+                            g = rt.offset + c
+                            self._trk_start_abs[g] = (
+                                acq_base + res.samplestamp)
+                            self._tow_seen[g] = False
+
+            # --- tracking chunk --------------------------------------------
+            tracking = mgr.tracking_channels()
+            chunk_n = self._chunk_n(rt)
+            if not tracking:
+                rt.done += min(chunk_n, rt.total - rt.done)
+                advanced = True
+                continue
+            # late-acquired channels shift the chain's window: only as
+            # many epochs as fit before the stream end
+            n = min(chunk_n, rt.total - rt.done,
+                    rt.trk.epochs_that_fit(end_abs))
+            if 0 < n < chunk_n:
+                if not final:
+                    continue   # wait for more data before eating the tail
+                # quantize tail chunks to powers of two: a bounded set of
+                # jitted shapes (each n_epochs is a static arg), so
+                # arbitrary tails never trigger fresh XLA compiles
+                n = 1 << (n.bit_length() - 1)
+            if n <= 0:
+                if final:
                     rt.done = rt.total   # stream exhausted for this chain
-                    continue
-                rt.done += n
-                progressed = True
-                staged.append((rt, tracking, n,
-                               rt.trk.process_begin(x_dev, 0, n)))
+                    advanced = True
+                continue
+            rt.done += n
+            progressed = True
+            advanced = True
+            win, win_base = self._window()
+            staged.append((rt, tracking, n,
+                           rt.trk.process_begin(win, win_base, n,
+                                                decim=rt.decim)))
 
-            # ---- phase 2: pull + host-process every chain's chunk ----------
-            for rt, tracking, n, handle in staged:
-                spec = rt.spec
-                outs = rt.trk.process_end(handle)
-                for c in range(spec.n_channels):
-                    rt.epoch_base[c] += n
-                if collected is not None:
-                    collected.append((spec.signal, outs))
-                tlm_res = rt.tlm.process(outs)
+        # ---- phase 2: pull + host-process every chain's chunk --------------
+        for rt, tracking, n, handle in staged:
+            spec = rt.spec
+            outs = rt.trk.process_end(handle)
+            for c in range(spec.n_channels):
+                rt.epoch_base[c] += n
+            if self.collected is not None:
+                self.collected.append((spec.signal, outs))
+            rows = outs.get("rows")
+            if rows is not None and len(rows) == 0:
+                # tail chunk shorter than one tick stride: feed the
+                # telemetry symbols, nothing for observables this chunk
+                tlm_res = rt.tlm.process({"prompt": outs["prompt"],
+                                          "valid": outs["valid_full"]})
                 for c, eph in tlm_res.new_ephemerides:
-                    ephemerides[rt.eph_key(eph.prn)] = eph
-                if (tow_map is not None and rt.spec.system == "Galileo"
-                        and rt.spec.signal != "E6"):
-                    # publish per-PRN TOW for the E6 channels
-                    tv = tlm_res.tow_valid
-                    for c in np.flatnonzero(tv.any(axis=0)):
-                        e = int(np.flatnonzero(tv[:, c])[-1])
-                        tow_map.update(rt.tlm.prns[c],
-                                       tlm_res.tow_at_epoch_ms[e, c],
-                                       outs["sample_counter"][e, c])
-                obs_eng.push_epochs(outs, tlm_res,
-                                    channel_offset=rt.offset)
+                    self.ephemerides[rt.eph_key(eph.prn)] = eph
+                quiet = self._handle_lock_loss(rt, tracking) and quiet
+                continue
+            if rows is not None:
+                # decimated transfer: telemetry sees the full-rate symbol
+                # planes, observables the tick-rate planes
+                tlm_in = {"prompt": outs["prompt"],
+                          "valid": outs["valid_full"]}
+                if getattr(rt.tlm, "tow_map", None) is not None:
+                    # E6 stamps TOW per symbol epoch: reconstruct the
+                    # per-epoch sample counter from the decimated one
+                    # (linear in epoch to ~1e-7 samples)
+                    tlm_in["sample_counter"] = _expand_sc(
+                        outs["sample_counter"], rows, n, rt.nominal)
+                tlm_res = rt.tlm.process(tlm_in)
+                tlm_obs = dataclasses.replace(
+                    tlm_res,
+                    tow_at_epoch_ms=tlm_res.tow_at_epoch_ms[rows],
+                    tow_valid=tlm_res.tow_valid[rows])
+            else:
+                tlm_res = rt.tlm.process(outs)
+                tlm_obs = tlm_res
+            for c, eph in tlm_res.new_ephemerides:
+                self.ephemerides[rt.eph_key(eph.prn)] = eph
+            if (self.tow_map is not None and rt.spec.system == "Galileo"
+                    and rt.spec.signal != "E6"):
+                # publish per-PRN TOW for the E6 channels (decimated rows
+                # suffice: TOW is linear in epoch index)
+                tv = tlm_obs.tow_valid
+                for c in np.flatnonzero(tv.any(axis=0)):
+                    e = int(np.flatnonzero(tv[:, c])[-1])
+                    self.tow_map.update(rt.tlm.prns[c],
+                                        tlm_obs.tow_at_epoch_ms[e, c],
+                                        outs["sample_counter"][e, c])
+            self.obs_eng.push_epochs(outs, tlm_obs,
+                                     channel_offset=rt.offset)
 
-                # --- loss-of-lock events -----------------------------------
-                lost = rt.trk.lock_lost_host
+            # telemetry fail-safe bookkeeping
+            tw = tlm_obs.tow_valid.any(axis=0)
+            self._tow_seen[rt.offset:rt.offset + spec.n_channels] |= tw
+
+            # --- loss-of-lock events + TLM-timeout fail-safe ---------------
+            quiet = self._handle_lock_loss(rt, tracking) and quiet
+            if conf.tlm_timeout_s > 0:
+                sc_last = outs["sample_counter"][-1]
                 for c in tracking:
-                    if lost[c]:
+                    g = rt.offset + c
+                    if (rt.mgr.channels[c].state == ChannelState.TRACKING
+                            and not self._tow_seen[g]
+                            and self._trk_start_abs[g] >= 0
+                            and (sc_last[c] - self._trk_start_abs[g])
+                            / conf.fs > conf.tlm_timeout_s):
+                        # no TOW in time: telemetry never synced (covers
+                        # the bit-sync limit too) — recycle the channel
+                        quiet = False
                         rt.mgr.on_tracking_lost(c)
                         rt.trk.stop_channel(c)
 
-                valid_cols = np.asarray(outs["valid"][-1])
-                if valid_cols.any():
-                    up_to = int(outs["sample_counter"][-1][valid_cols].min())
-                    tick_bounds.append(up_to)
-                    cursor = max(cursor, up_to - rt.margin)
+            valid_cols = np.asarray(outs["valid"][-1])
+            if valid_cols.any():
+                up_to = int(outs["sample_counter"][-1][valid_cols].min())
+                tick_bounds.append(up_to)
+                self.cursor = max(self.cursor, up_to - rt.margin)
 
-            # --- observables + PVT -----------------------------------------
-            if tick_bounds:
-                prn_map, sys_map = self._channel_maps(chains, n_total)
-                freq_map = np.concatenate(
-                    [np.full(rt.spec.n_channels,
-                             rt.spec.trk.carrier_freq_hz) for rt in chains])
-                for epoch in obs_eng.pull_ticks(min(tick_bounds)):
-                    obs_epochs.append(epoch)
-                    # pseudolite channel: feed AOWR, exclude from PVT
-                    excl = ()
-                    if aowr is not None:
-                        ps = conf.ps_channel
-                        excl = (ps,)
-                        if 0 <= ps < n_total and epoch.valid[ps]:
-                            aowr.update(
-                                float(epoch.pseudorange_m[ps]),
-                                float(epoch.carrier_phase_cycles[ps]))
-                    # rx clock propagation after enough fixes: hold the
-                    # clock at the last bias + drift extrapolation
-                    fixed_clk = None
-                    if (conf.enable_rx_clock_propagation
-                            and last_fix is not None
-                            and n_fixes >= conf.clk_prop_after_n_fixes):
-                        dt = epoch.rx_time_s - last_fix_time
-                        fixed_clk = (last_fix.rx_clock_bias_s
-                                     + last_fix.rx_clock_drift_ss * dt)
-                    sol = solve_pvt(epoch, prn_map, ephemerides, conf.pvt,
-                                    x0=None if last_fix is None
-                                    else last_fix.rx_ecef_m,
-                                    systems=sys_map,
-                                    carrier_freq_hz=freq_map,
-                                    exclude_channels=excl,
-                                    fixed_clock_bias_s=fixed_clk)
-                    if sol.valid:
-                        if pvt_kf is not None:
-                            pvt_kf.update(sol)
-                        last_fix = sol
-                        last_fix_time = epoch.rx_time_s
-                        n_fixes += 1
-                        solutions.append(sol)
-                        if conf.share_rx_clock_bias:
-                            # tag a GNSS channel's TOW/PRN, never the
-                            # pseudolite's (the reference erases the ps
-                            # channel from the observables map before
-                            # write_rx_clock_bias, rtklib_pvt_gs.cc:2346)
-                            cand = np.flatnonzero(epoch.valid)
-                            cand = cand[~np.isin(cand, list(excl))]
-                            ch0 = int(cand[0]) if cand.size else int(
-                                np.flatnonzero(epoch.valid)[0])
-                            rx_clock_bias_log.append(
-                                (epoch.rx_time_s,
-                                 epoch.interp_tow_ms[ch0] / 1000.0,
-                                 sol.rx_clock_bias_s, prn_map[ch0]))
-                        if aowr is not None and aowr.observed:
-                            clock_differences.append(aowr.clock_products(
-                                sol.rx_clock_bias_s, epoch.rx_time_s))
-            elif not progressed:
-                cursor += int(chunk_s * conf.fs)
+        # --- observables + PVT ----------------------------------------------
+        if tick_bounds:
+            self._solve(min(tick_bounds))
+        elif not progressed and final:
+            self.cursor += int(self.chunk_s * conf.fs)
+            advanced = True
+        self.chunk_mult = min(self.chunk_mult * 2, 8) if quiet else 1
+        return advanced
 
+    def _handle_lock_loss(self, rt, tracking) -> bool:
+        quiet = True
+        lost = rt.trk.lock_lost_host
+        for c in tracking:
+            if lost[c]:
+                quiet = False
+                rt.mgr.on_tracking_lost(c)
+                rt.trk.stop_channel(c)
+        return quiet
+
+    def _solve(self, tick_bound: int) -> None:
+        conf = self.conf
+        prn_map, sys_map = _channel_maps(self.chains, self.n_total)
+        freq_map = self.freq_map
+        for epoch in self.obs_eng.pull_ticks(tick_bound):
+            self.obs_epochs.append(epoch)
+            # pseudolite channel: feed AOWR, exclude from PVT
+            excl = ()
+            if self.aowr is not None:
+                ps = conf.ps_channel
+                excl = (ps,)
+                if 0 <= ps < self.n_total and epoch.valid[ps]:
+                    self.aowr.update(
+                        float(epoch.pseudorange_m[ps]),
+                        float(epoch.carrier_phase_cycles[ps]))
+            # PVT solve cadence (PVT.output_rate_ms decimation)
+            if conf.pvt_rate_ms and int(round(
+                    epoch.rx_time_s * 1000.0)) % conf.pvt_rate_ms:
+                continue
+            # rx clock propagation after enough fixes: hold the clock at
+            # the last bias + drift extrapolation
+            fixed_clk = None
+            if (conf.enable_rx_clock_propagation
+                    and self.last_fix is not None
+                    and self.n_fixes >= conf.clk_prop_after_n_fixes):
+                dt = epoch.rx_time_s - self.last_fix_time
+                fixed_clk = (self.last_fix.rx_clock_bias_s
+                             + self.last_fix.rx_clock_drift_ss * dt)
+            sol = solve_pvt(epoch, prn_map, self.ephemerides, conf.pvt,
+                            x0=None if self.last_fix is None
+                            else self.last_fix.rx_ecef_m,
+                            systems=sys_map,
+                            carrier_freq_hz=freq_map,
+                            exclude_channels=excl,
+                            fixed_clock_bias_s=fixed_clk)
+            if sol.valid:
+                if self.pvt_kf is not None:
+                    self.pvt_kf.update(sol)
+                self.last_fix = sol
+                self.last_fix_time = epoch.rx_time_s
+                self.n_fixes += 1
+                self.solutions.append(sol)
+                if conf.share_rx_clock_bias:
+                    # tag a GNSS channel's TOW/PRN, never the pseudolite's
+                    # (the reference erases the ps channel from the
+                    # observables map before write_rx_clock_bias,
+                    # rtklib_pvt_gs.cc:2346)
+                    cand = np.flatnonzero(epoch.valid)
+                    cand = cand[~np.isin(cand, list(excl))]
+                    ch0 = int(cand[0]) if cand.size else int(
+                        np.flatnonzero(epoch.valid)[0])
+                    self.rx_clock_bias_log.append(
+                        (epoch.rx_time_s,
+                         epoch.interp_tow_ms[ch0] / 1000.0,
+                         sol.rx_clock_bias_s, prn_map[ch0]))
+                if self.aowr is not None and self.aowr.observed:
+                    self.clock_differences.append(self.aowr.clock_products(
+                        sol.rx_clock_bias_s, epoch.rx_time_s))
+                # fork orbital EKF (enable_pvt_ekf): seed from the first
+                # LS fix, then measurement-update per solved epoch
+                if self.pvt_ekf is not None:
+                    t_gps = epoch.rx_time_s - sol.rx_clock_bias_s
+                    if not self.pvt_ekf.initialized:
+                        self.pvt_ekf.init_from_fix(sol, t_gps)
+                    elif self.pvt_ekf.update(epoch, prn_map,
+                                             self.ephemerides, t_gps,
+                                             systems=sys_map,
+                                             carrier_freq_hz=freq_map):
+                        pos, vel, bias, drift = self.pvt_ekf.state_ecef()
+                        self.ekf_solutions.append(
+                            (epoch.rx_time_s, pos, vel, bias, drift))
+            # RTK: pair with the base epoch and run the DD engine
+            if self.rtk_eng is not None:
+                base_ep = self.base_observations.aligned_to(
+                    epoch.rx_time_s, prn_map, sys_map)
+                if base_ep is not None:
+                    rsol = self.rtk_eng.update(
+                        epoch, base_ep, prn_map, self.ephemerides,
+                        systems=sys_map, carrier_freq_hz=freq_map)
+                    if rsol.valid:
+                        self.rtk_solutions.append((epoch.rx_time_s, rsol))
+
+    # -- output ----------------------------------------------------------------
+
+    def result(self) -> ReceiverRun:
         track_outputs = None
-        if collected:
+        if self.collected:
             track_outputs = {}
-            for sig in {s for s, _ in collected}:
-                parts = [o for s, o in collected if s == sig]
+            for sig in {s for s, _ in self.collected}:
+                parts = [o for s, o in self.collected if s == sig]
                 track_outputs[sig] = {
                     k: np.concatenate([p[k] for p in parts])
                     for k in parts[0]}
             if len(track_outputs) == 1:   # legacy single-chain shape
                 track_outputs = next(iter(track_outputs.values()))
-        prn_map, sys_map = self._channel_maps(chains, n_total)
+        prn_map, sys_map = _channel_maps(self.chains, self.n_total)
         states = []
-        for rt in chains:
+        for rt in self.chains:
             states.extend(rt.mgr.channels[c].state
                           for c in range(rt.spec.n_channels))
         events = []
-        for rt in chains:
+        for rt in self.chains:
             events.extend((rt.offset + c, ev) for c, ev in rt.mgr.events)
         has_messages = []
-        for rt in chains:
+        for rt in self.chains:
             if rt.spec.signal == "E6":
                 has_messages.extend(rt.tlm.has.messages)
         return ReceiverRun(
-            solutions=solutions, observation_epochs=obs_epochs,
+            solutions=self.solutions,
+            observation_epochs=self.obs_epochs,
             channel_prns=prn_map, channel_states=states,
             channel_systems=sys_map,
-            ephemerides=ephemerides, events=events,
+            ephemerides=self.ephemerides, events=events,
             track_outputs=track_outputs,
             has_messages=has_messages,
-            clock_differences=clock_differences,
-            rx_clock_bias_log=rx_clock_bias_log)
+            clock_differences=self.clock_differences,
+            rx_clock_bias_log=self.rx_clock_bias_log,
+            rtk_solutions=self.rtk_solutions,
+            ekf_solutions=self.ekf_solutions)
 
-    @staticmethod
-    def _channel_maps(chains, n_total):
-        prn_map = [0] * n_total
-        sys_map = ["GPS"] * n_total
-        for rt in chains:
-            for c in range(rt.spec.n_channels):
-                prn_map[rt.offset + c] = rt.mgr.channels[c].prn
-                sys_map[rt.offset + c] = rt.spec.system
-        return prn_map, sys_map
+
+class Receiver:
+    def __init__(self, conf: ReceiverConf):
+        self.conf = conf
+
+    def start_session(self, collect_track_outputs: bool = False,
+                      ephemerides: dict | None = None,
+                      base_observations=None) -> ReceiverSession:
+        """Create a live streaming session (see ReceiverSession)."""
+        return ReceiverSession(self.conf,
+                               collect_track_outputs=collect_track_outputs,
+                               ephemerides=ephemerides,
+                               base_observations=base_observations)
+
+    def process_array(self, x: np.ndarray,
+                      collect_track_outputs: bool = False,
+                      ephemerides: dict | None = None,
+                      base_observations=None) -> ReceiverRun:
+        """Run the whole receiver over an in-memory sample array (host
+        np.ndarray or device-resident jax.Array).
+
+        `ephemerides` preloads assistance data for a warm start (the
+        reference's AGNSS / XML-assisted start, control_thread.cc
+        assist_GNSS + read_assistance_from_XML): PVT can fix as soon as
+        TOW is decoded, without waiting for subframes 1-3.  Keys: PRN int
+        for GPS, (system, prn) otherwise.
+
+        `base_observations` (models.rtk.BaseObservations) enables RTK when
+        PVT.positioning_mode is RTK_Static/RTK_Kinematic: each rover
+        observable epoch is paired with the matching base epoch (by rx
+        time, satellites matched by (system, prn)) and run through the DD
+        carrier-phase EKF + LAMBDA engine; fixed/float solutions
+        accumulate in ReceiverRun.rtk_solutions (rtklib_rtkpos.cc relpos
+        role).
+
+        Multi-constellation note: pseudoranges place every TOW on a common
+        timescale — valid for the simulator (GGTO = 0) and within a single
+        constellation; broadcast GGTO correction is a PVT extension hook.
+        """
+        s = self.start_session(collect_track_outputs=collect_track_outputs,
+                               ephemerides=ephemerides,
+                               base_observations=base_observations)
+        s.attach_array(x)
+        s.run_to_end()
+        return s.result()
 
 
 def beidou_b1i_chain(fs: float, prns=tuple(range(6, 31)), n_channels=4,

@@ -24,6 +24,20 @@ around the framework's ObservationEpoch records instead of rtklib's obsd_t:
 Measurements per epoch: DD carrier phase (cycles -> meters) and DD code
 pseudorange on every common, valid satellite; the DD covariance accounts
 for the shared reference satellite (off-diagonal var_ref terms).
+
+Sign convention: ``ObservationEpoch.carrier_phase_cycles`` is the tracking
+chain's ACCUMULATED PLL PHASE, which grows with +Doppler, i.e. as
+-range/lambda (the RINEX writer negates it for the same reason,
+models/outputs.py).  The engine negates it at ingestion so the carrier
+measurement model sees the +range/lambda + N convention.
+
+Attribution: the LAMBDA implementation (_ld_decomp/_gauss/_perm/
+_reduction/_search) is derived from RTKLIB's rtklib_lambda.c
+(T. Takasu, 2007-2013, BSD-2-Clause; embedded in the reference at
+src/algorithms/libs/rtklib/rtklib_lambda.cc), which implements
+P.J.G. Teunissen's LAMBDA method (J. Geodesy 70, 1995) per X.-W. Chang,
+X. Yang, T. Zhou, "MLAMBDA: a modified LAMBDA method for integer
+least-squares estimation", J. Geodesy 79 (2005).
 """
 
 from __future__ import annotations
@@ -179,6 +193,79 @@ def lambda_ils(a_float: np.ndarray, Q: np.ndarray, m: int = 2):
 
 
 # ---------------------------------------------------------------------------
+# Base-station observables (two-receiver runs)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class BaseObservations:
+    """Base-station observable stream for RTK: a list of ObservationEpoch
+    in the base receiver's own channel space plus its channel -> satellite
+    maps and the known base position.  Produced from a second Receiver run
+    (`from_receiver_run`) or a RINEX obs file (models.outputs
+    read_rinex_obs) — the role of rtklib's base `obsd_t` stream fed by a
+    second file/RTCM input (rtklib_rtkpos.cc relpos rover/base halves)."""
+    epochs: list                     # [ObservationEpoch]
+    prns: list                       # [C_base] int
+    systems: list                    # [C_base] str
+    base_ecef_m: np.ndarray          # [3]
+
+    def __post_init__(self):
+        self._by_ms = {int(round(e.rx_time_s * 1000.0)): e
+                       for e in self.epochs}
+
+    @classmethod
+    def from_receiver_run(cls, run, base_ecef_m):
+        """Wrap a base Receiver run's observation epochs (the final
+        channel->PRN map must cover the epochs used; static base)."""
+        systems = (list(run.channel_systems) if run.channel_systems
+                   else ["GPS"] * len(run.channel_prns))
+        return cls(epochs=run.observation_epochs,
+                   prns=list(run.channel_prns), systems=systems,
+                   base_ecef_m=np.asarray(base_ecef_m, np.float64))
+
+    def epoch_at(self, rx_time_s: float, tol_ms: float = 1.0):
+        return self._by_ms.get(int(round(rx_time_s * 1000.0)))
+
+    def aligned_to(self, rx_time_s: float, rover_prns, rover_systems):
+        """Return the base epoch at rx_time_s re-indexed into the ROVER's
+        channel space by (system, prn) — None if no base epoch matches.
+        This is the obs-pairing step of rtklib's relpos (selsat)."""
+        be = self.epoch_at(rx_time_s)
+        if be is None:
+            return None
+        key2base = {}
+        for i, (s, p) in enumerate(zip(self.systems, self.prns)):
+            if p > 0 and be.valid[i]:
+                key2base[(s, int(p))] = i
+        n = len(rover_prns)
+        from gnss_sim_receiver_tpu.models.observables import ObservationEpoch
+        valid = np.zeros(n, bool)
+        pr = np.zeros(n)
+        tow = np.full(n, np.nan)
+        dop = np.zeros(n)
+        ph = np.zeros(n)
+        cn0 = np.zeros(n)
+        for c in range(n):
+            sysc = rover_systems[c] if rover_systems is not None else "GPS"
+            j = key2base.get((sysc, int(rover_prns[c])))
+            if j is None:
+                continue
+            valid[c] = True
+            pr[c] = be.pseudorange_m[j]
+            tow[c] = be.interp_tow_ms[j]
+            dop[c] = be.carrier_doppler_hz[j]
+            ph[c] = be.carrier_phase_cycles[j]
+            cn0[c] = be.cn0_db_hz[j]
+        if not valid.any():
+            return None
+        return ObservationEpoch(
+            rx_time_s=be.rx_time_s, tick_sample=be.tick_sample,
+            valid=valid, pseudorange_m=pr, interp_tow_ms=tow,
+            carrier_doppler_hz=dop, carrier_phase_cycles=ph,
+            cn0_db_hz=cn0)
+
+
+# ---------------------------------------------------------------------------
 # RTK engine
 # ---------------------------------------------------------------------------
 
@@ -318,18 +405,30 @@ class RtkEngine:
         if len(common) < conf.min_sats:
             return bad
 
-        # single differences rover - base per satellite (meters)
+        # single differences rover - base per satellite (meters).  The two
+        # receivers' matched epochs carry the same rx-time LABEL but their
+        # true tick times can differ by up to one observable interval (each
+        # receiver anchors its own 20 ms grid), so each leg's satellite
+        # position must be evaluated at that receiver's OWN transmit time
+        # (geom_r vs geom_b) — evaluating both legs at the rover's time
+        # puts multi-meter errors into the DDs at +-800 m/s range rates
+        # (rtklib satposs runs per obs stream for the same reason).
         sd_code = {}
         sd_carr = {}
         geom = {}
+        geom_base = {}
         for k in common:
             cr, gr = geom_r[k]
             cb, gb = geom_b[k]
             sd_code[k] = (rover_obs.pseudorange_m[cr]
                           - base_obs.pseudorange_m[cb])
-            sd_carr[k] = gr.lam * (rover_obs.carrier_phase_cycles[cr]
-                                   - base_obs.carrier_phase_cycles[cb])
+            # chain convention: accumulated PLL phase ~ -range/lambda; the
+            # negation yields the +range/lambda + N carrier observable
+            # (see module docstring / models/outputs.py RINEX sign flip)
+            sd_carr[k] = -gr.lam * (rover_obs.carrier_phase_cycles[cr]
+                                    - base_obs.carrier_phase_cycles[cb])
             geom[k] = gr
+            geom_base[k] = gb
 
         # reference satellite per system: highest elevation (ddres refsat)
         by_sys: dict = {}
@@ -384,8 +483,10 @@ class RtkEngine:
         # measurement model: z = [dd_carr; dd_code], prediction from rover
         # position + ambiguities
         def dd_range(rov):
+            # rover leg at the rover's transmit times, base leg at the
+            # base's (see the single-difference note above)
             rng_sd = {k: (np.linalg.norm(geom[k].pos - rov)
-                          - np.linalg.norm(geom[k].pos - self.base))
+                          - np.linalg.norm(geom_base[k].pos - self.base))
                       for k in common}
             return np.array([rng_sd[k] - rng_sd[refs[k[0]]]
                              for k in dd_keys])

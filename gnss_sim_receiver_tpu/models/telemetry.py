@@ -71,6 +71,8 @@ class _ChannelTlmState:
     # TOW anchor: epoch index of a subframe's first epoch + its TOW (ms)
     anchor_epoch: int | None = None
     anchor_tow_ms: float = 0.0
+    # PLL locked 180 deg off (inverted preamble) — half-cycle phase flag
+    polarity_inverted: bool = False
     # ephemeris assembly
     sf_fields: dict = dataclasses.field(default_factory=dict)
     ephemeris: GpsEphemeris | None = None
@@ -81,6 +83,11 @@ class TelemetryOutputs:
     tow_at_epoch_ms: np.ndarray      # [T, C] float64, nan if unknown
     tow_valid: np.ndarray            # [T, C] bool
     new_ephemerides: list            # [(channel, GpsEphemeris), ...]
+    # [C] half-cycle carrier-phase correction (0.0 or 0.5 cycles): 0.5 when
+    # the channel's PLL is known (from frame sync) to be locked 180 deg off
+    # — the reference's Flag_PLL_180_deg_phase_locked + GPS_PI correction
+    # (gps_l1_ca_telemetry_decoder_gs.cc).  None = no correction known.
+    phase_half_cycles: np.ndarray | None = None
 
 
 class TelemetryDecoder:
@@ -135,9 +142,12 @@ class TelemetryDecoder:
                 m = v & (idx >= st.anchor_epoch)
                 tow[m, c] = (st.anchor_tow_ms
                              + (idx[m] + 1 - st.anchor_epoch) * 1.0)
+        half = np.array([0.5 if st.polarity_inverted else 0.0
+                         for st in self.ch])
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
-                                new_ephemerides=new_eph)
+                                new_ephemerides=new_eph,
+                                phase_half_cycles=half)
 
     # -- internals ----------------------------------------------------------
     def _try_bit_sync(self, st: _ChannelTlmState) -> None:
@@ -173,6 +183,7 @@ class TelemetryDecoder:
             tow_sf_start_s = ev.tow_next_s - lnav.SUBFRAME_SECONDS
             st.anchor_epoch = sf_start_epoch
             st.anchor_tow_ms = tow_sf_start_s * 1000.0
+            st.polarity_inverted = bool(ev.inverted)
             if ev.sf_id in (1, 2, 3):
                 st.sf_fields[ev.sf_id] = ev.fields
                 if all(k in st.sf_fields for k in (1, 2, 3)):
@@ -785,8 +796,15 @@ class GalileoTowMap:
     galileo_tow_map.cc and the telemetry decoder's d_E6_TOW_set path,
     galileo_telemetry_decoder_gs.cc:1273-1290)."""
 
-    def __init__(self, fs: float):
+    # extrapolation bound: a stamp older than this (in sample time) no
+    # longer produces a TOW — the reference re-validates TOW against fresh
+    # pages instead of extrapolating forever (galileo_tow_map.cc)
+    MAX_AGE_S = 30.0
+
+    def __init__(self, fs: float, max_age_s: float | None = None):
         self.fs = float(fs)
+        self.max_age_s = float(max_age_s if max_age_s is not None
+                               else self.MAX_AGE_S)
         self._m: dict[int, tuple[float, float]] = {}
 
     def update(self, prn: int, tow_ms: float, sample_counter: float) -> None:
@@ -797,7 +815,10 @@ class GalileoTowMap:
         if hit is None:
             return None
         tow_ms, sc_ref = hit
-        return tow_ms + (float(sample_counter) - sc_ref) / self.fs * 1e3
+        age_s = (float(sample_counter) - sc_ref) / self.fs
+        if age_s > self.max_age_s:
+            return None
+        return tow_ms + age_s * 1e3
 
 
 class GalileoE6bTelemetryDecoder:

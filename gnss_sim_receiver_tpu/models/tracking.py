@@ -669,6 +669,59 @@ def track_chunk_packed(conf: TrackingConf, n_epochs: int, codes: jax.Array,
     return new_state, buf
 
 
+# float planes pulled at the decimated (observable-tick) stride, fixed order
+_DECIM_F32 = ("carrier_doppler_hz", "acc_phase_cycles",
+              "code_phase_samples", "cn0_db_hz")
+
+
+@partial(jax.jit, static_argnames=("conf", "n_epochs", "decim"))
+def track_chunk_packed_decim(conf: TrackingConf, n_epochs: int, decim: int,
+                             codes: jax.Array, taps: jax.Array,
+                             x_chunk: jax.Array, state: TrackState):
+    """track_chunk with the device->host transfer cut to what the host
+    pipeline actually consumes per rate class:
+
+    - telemetry runs at SYMBOL rate: per-epoch prompt-I as int8 (scaled per
+      channel; -128 = invalid epoch) — 1 byte instead of 32;
+    - observables/PVT run at TICK rate: the float planes (_DECIM_F32) and
+      the sample counter only every `decim`-th epoch (the observable
+      interval, e.g. 20 x 1 ms).  The observables engine linearly
+      interpolates at tick times anyway, and every plane is smooth on the
+      20 ms scale (Doppler-rate curvature over 20 ms is ~1e-7 samples /
+      3e-5 cycles), so nothing is lost;
+    - the FSM runs at CHUNK rate: per-channel meta once per chunk.
+
+    This is the steady-state transfer format: ~2.2 B/epoch/channel vs 32,
+    which is what makes the full receiver fast on a bandwidth-starved
+    remote-TPU link (and saves HBM->PCIe traffic on a local one).
+
+    Returns (new_state, sym_i8 [T, C], buf_i32) with buf_i32 =
+    [4 f32 planes at rows (decim-1, 2*decim-1, ...) bitcast | sample
+    counter i32 at rows | new pos C | active C | lock_lost C | scale C
+    (f32 bitcast)].
+    """
+    new_state, outs = track_chunk(conf, n_epochs, codes, taps, x_chunk,
+                                  state)
+    pre = jnp.real(outs["prompt"])                      # [T, C]
+    valid = outs["valid"]
+    scale = jnp.maximum(jnp.max(jnp.abs(pre), axis=0) / 126.0,
+                        jnp.float32(1e-20))             # [C]
+    q = jnp.clip(jnp.round(pre / scale), -126.0, 126.0).astype(jnp.int8)
+    sym = jnp.where(valid, q, jnp.int8(-128))
+    rows = jnp.arange(decim - 1, n_epochs, decim)
+    f32 = jnp.stack([outs[k][rows] for k in _DECIM_F32])  # [4, Td, C]
+    sc = (outs["pos_start"][rows]
+          + outs["n_samples"][rows]).astype(jnp.int32)    # [Td, C]
+    buf = jnp.concatenate([
+        jax.lax.bitcast_convert_type(f32, jnp.int32).ravel(),
+        sc.ravel(),
+        new_state.pos.astype(jnp.int32),
+        new_state.active.astype(jnp.int32),
+        new_state.lock_lost.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(scale, jnp.int32)])
+    return new_state, sym, buf
+
+
 class TrackingEngine:
     """Host-side wrapper: absolute sample bookkeeping + acq handoff.
 
@@ -768,12 +821,20 @@ class TrackingEngine:
                                                    n_epochs))
 
     def process_begin(self, x: np.ndarray, x_abs_start: int,
-                      n_epochs: int):
+                      n_epochs: int, decim: int | None = None):
         """Dispatch the chunk's device scan and START its async
         device->host copy; returns an opaque handle for process_end.
         Several engines' chunks can be in flight at once (their copies
         overlap on the transport), which the multi-chain receiver uses to
-        pay ~one transfer latency per chunk instead of one per chain."""
+        pay ~one transfer latency per chunk instead of one per chain.
+
+        `decim` > 1 selects the rate-split transfer format
+        (track_chunk_packed_decim): int8 prompt symbols per epoch +
+        observable planes every decim-th epoch.  process_end then returns
+        the decimated planes under the usual keys ([Td, C] instead of
+        [T, C]) plus full-rate "prompt"/"valid" ([T, C], expanded
+        host-side from the symbols) and "rows" (the kept epoch indices
+        within the chunk)."""
         active = self.active_host
         if not active.any():
             raise RuntimeError("no active channels")
@@ -793,6 +854,17 @@ class TrackingEngine:
             raise ValueError(f"need >= {need} samples, got {len(x)}")
         state = self.state._replace(pos=jnp.asarray(rel, jnp.int32))
         x_dev = xfer.device_put_complex(x)
+        if decim is not None and decim > 1 and not self.full_outputs:
+            new_state, sym, buf = track_chunk_packed_decim(
+                self.conf, int(n_epochs), int(decim), self.codes,
+                self.taps, x_dev, state)
+            try:
+                sym.copy_to_host_async()
+                buf.copy_to_host_async()
+            except Exception:
+                pass
+            return ("decim", new_state, sym, buf, int(x_abs_start),
+                    int(n_epochs), int(decim))
         new_state, buf = track_chunk_packed(
             self.conf, int(n_epochs), self.codes, self.taps, x_dev, state,
             full_outputs=self.full_outputs)
@@ -805,6 +877,8 @@ class TrackingEngine:
     def process_end(self, handle):
         """Materialize a process_begin handle: one blocking pull, then the
         host-side unpacking/bookkeeping."""
+        if handle[0] == "decim":
+            return self._process_end_decim(handle)
         new_state, buf, x_abs_start, n_epochs = handle
         t, c = int(n_epochs), self.n_channels
         raw = np.ascontiguousarray(np.asarray(buf))  # THE one transfer
@@ -829,4 +903,35 @@ class TrackingEngine:
         self.abs_start = new_pos + x_abs_start
         self.state = new_state._replace(
             pos=self._pos0)
+        return outs
+
+    def _process_end_decim(self, handle):
+        """Materialize a decimated handle (track_chunk_packed_decim): two
+        pulls whose transfers were already started together."""
+        _, new_state, sym, buf, x_abs_start, n_epochs, decim = handle
+        t, c = int(n_epochs), self.n_channels
+        rows = np.arange(decim - 1, t, decim)
+        td = len(rows)
+        sym = np.asarray(sym)                              # [T, C] int8
+        raw = np.asarray(buf)                              # flat int32
+        nf = len(_DECIM_F32)
+        fbuf = raw[: nf * td * c].view(np.float32).reshape(nf, td, c)
+        ibuf = raw[nf * td * c:]
+        sc = ibuf[: td * c].reshape(td, c).astype(np.int64)
+        new_pos = ibuf[td * c: td * c + c].astype(np.int64)
+        self.active_host = ibuf[td * c + c: td * c + 2 * c] > 0
+        self.lock_lost_host = ibuf[td * c + 2 * c: td * c + 3 * c] > 0
+        scale = ibuf[td * c + 3 * c:].view(np.float32)
+        outs = {k: fbuf[i] for i, k in enumerate(_DECIM_F32)}
+        valid_full = sym != np.int8(-128)
+        outs["prompt"] = np.where(valid_full, sym, 0).astype(
+            np.float32) * scale[None, :]
+        outs["symbols_i8"] = sym
+        outs["sym_scale"] = scale
+        outs["valid_full"] = valid_full                    # [T, C]
+        outs["valid"] = valid_full[rows]                   # [Td, C]
+        outs["rows"] = rows
+        outs["sample_counter"] = sc + x_abs_start
+        self.abs_start = new_pos + x_abs_start
+        self.state = new_state._replace(pos=self._pos0)
         return outs

@@ -140,9 +140,10 @@ class CnavPageDecoder:
 
     def __init__(self):
         self.sym: list[float] = []
+        self._base = 0              # absolute stream index of self.sym[0]
         self._aligned = False
         self._inverted = False
-        self._next = 0
+        self._next = 0              # absolute stream index
         self._crc_fails = 0
 
     def push_symbols(self, soft) -> list[HasPageEvent]:
@@ -151,18 +152,24 @@ class CnavPageDecoder:
         while True:
             if not self._aligned and not self._try_align():
                 break
-            if len(self.sym) < self._next + SYMBOLS_PER_PAGE:
+            if self._base + len(self.sym) < self._next + SYMBOLS_PER_PAGE:
                 break
             ev = self._decode_page()
             if ev is not None:
                 events.append(ev)
+        # bounded memory: drop consumed symbols (everything before _next —
+        # both decode and a failed alignment scan advance it)
+        drop = self._next - self._base
+        if drop > 0:
+            del self.sym[:drop]
+            self._base = self._next
         return events
 
     def _try_align(self) -> bool:
         s = np.sign(np.asarray(self.sym, np.float64))
         pre = 2.0 * PREAMBLE - 1.0
         n = len(s)
-        i = self._next
+        i = self._next - self._base
         while i + SYMBOLS_PER_PAGE + len(PREAMBLE) <= n:
             c0 = float(np.dot(s[i:i + 16], pre))
             if abs(c0) == 16.0:
@@ -171,19 +178,21 @@ class CnavPageDecoder:
                 if c1 == c0:
                     self._aligned = True
                     self._inverted = c0 < 0
-                    self._next = i
+                    self._next = self._base + i
                     return True
             i += 1
-        self._next = max(self._next, n - SYMBOLS_PER_PAGE - 16)
+        self._next = max(self._next,
+                         self._base + n - SYMBOLS_PER_PAGE - 16)
         return False
 
     def _decode_page(self) -> HasPageEvent | None:
-        i = self._next
+        i = self._next - self._base
         raw = np.asarray(self.sym[i + 16:i + SYMBOLS_PER_PAGE], np.float32)
         if self._inverted:
             raw = -raw
         ev = decode_page_symbols(raw)
-        self._next = i + SYMBOLS_PER_PAGE
+        start_abs = self._next
+        self._next = start_abs + SYMBOLS_PER_PAGE
         if ev is None or not ev.crc_ok:
             self._crc_fails += 1
             if self._crc_fails >= self.CRC_ERROR_LIMIT:
@@ -191,7 +200,7 @@ class CnavPageDecoder:
                 self._crc_fails = 0
             return ev
         self._crc_fails = 0
-        ev.start_symbol = i
+        ev.start_symbol = start_abs
         return ev
 
 

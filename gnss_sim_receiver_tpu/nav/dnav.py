@@ -604,9 +604,10 @@ class D2SubframeDecoder:
 
     def __init__(self):
         self.syms: list[float] = []
+        self._base = 0              # absolute stream index of self.syms[0]
         self._aligned = False
         self._inverted = False
-        self._next_sf = 0
+        self._next_sf = 0           # absolute stream index
         self._fails = 0
         self._pre = np.repeat(2.0 * PREAMBLE - 1.0, self.SYM_PER_BIT)
 
@@ -616,18 +617,24 @@ class D2SubframeDecoder:
         while True:
             if not self._aligned and not self._try_align():
                 break
-            if len(self.syms) < self._next_sf + self.SF_SYMS:
+            if self._base + len(self.syms) < self._next_sf + self.SF_SYMS:
                 break
             ev = self._decode_subframe()
             if ev is not None:
                 events.append(ev)
+        # bounded memory: drop consumed symbols (decode and failed
+        # alignment scans both advance _next_sf)
+        drop = self._next_sf - self._base
+        if drop > 0:
+            del self.syms[:drop]
+            self._base = self._next_sf
         return events
 
     def _try_align(self) -> bool:
         s = np.sign(np.asarray(self.syms, dtype=np.float64))
         npre = len(self._pre)
         n = len(s)
-        i = max(self._next_sf, 0)
+        i = max(self._next_sf - self._base, 0)
         while i + self.SF_SYMS + npre <= n:
             c0 = float(np.dot(s[i:i + npre], self._pre))
             if abs(c0) == npre:
@@ -636,21 +643,22 @@ class D2SubframeDecoder:
                 if c1 == c0:
                     self._aligned = True
                     self._inverted = c0 < 0
-                    self._next_sf = i
+                    self._next_sf = self._base + i
                     return True
             i += 1
-        self._next_sf = max(self._next_sf, n - self.SF_SYMS - npre)
+        self._next_sf = max(self._next_sf,
+                            self._base + n - self.SF_SYMS - npre)
         return False
 
     def _decode_subframe(self):
-        i = self._next_sf
+        i = self._next_sf - self._base
         raw = np.asarray(self.syms[i:i + self.SF_SYMS], dtype=np.float64)
         if self._inverted:
             raw = -raw
         bits = raw.reshape(-1, self.SYM_PER_BIT).sum(axis=1)
         hard = (bits > 0).astype(np.int64)
-        start = i
-        self._next_sf = i + self.SF_SYMS
+        start = self._next_sf
+        self._next_sf = start + self.SF_SYMS
         ok, fra, pnum, fields = unpack_d2_subframe(hard)
         if not ok:
             self._fails += 1

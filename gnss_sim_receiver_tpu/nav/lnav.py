@@ -241,6 +241,11 @@ class SubframeEvent:
     fields: dict
     bit_index: int       # index (in the decoder's bit stream) of the
     #                      subframe's first bit
+    # the preamble matched phase-inverted: the PLL is locked 180 deg off
+    # (the reference's Flag_PLL_180_deg_phase_locked,
+    # gps_l1_ca_telemetry_decoder_gs.cc frame_synchronization) — carrier
+    # phase observables need a half-cycle correction
+    inverted: bool = False
 
 
 class LnavFrameDecoder:
@@ -307,7 +312,8 @@ class LnavFrameDecoder:
                               if sf_id in (1, 2, 3) else {})
                     self._next_search = i + BITS_PER_SUBFRAME
                     return SubframeEvent(sf_id=sf_id, tow_next_s=tow_next,
-                                         fields=fields, bit_index=i)
+                                         fields=fields, bit_index=i,
+                                         inverted=bool(inverted))
             i += 1
         self._next_search = max(self._next_search,
                                 len(b) - BITS_PER_SUBFRAME + 1)

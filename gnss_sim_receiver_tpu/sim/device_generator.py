@@ -161,3 +161,47 @@ def generate_baseband_device(sats, fs: float, n_samples: int, *,
                             + 1j * np.asarray(xfer.host_get(im))[:n])
         pos += n
     return out
+
+
+def generate_baseband_device_resident(sats, fs: float, n_samples: int, *,
+                                      start_sample: int = 0,
+                                      noise: bool = True, seed: int = 0,
+                                      chunk_samples: int = 4_194_304):
+    """generate_baseband_device, but the capture STAYS ON DEVICE as one
+    complex64 jax.Array — the zero-transfer input for
+    Receiver.process_array (bench.py's full-chain scenario feeds this
+    straight into tracking/acquisition; nothing ever crosses the host
+    link, which is the whole point on a bandwidth-limited TPU
+    attachment)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    for sat in sats:
+        if sat.nav_bits is None:
+            sat.nav_bits = (rng.integers(0, 2, 1500) * 2 - 1).astype(np.int8)
+    codes, lcs, bits, nbs, sps = _sat_tables(sats)
+    codes_d = jax.device_put(codes)
+    bits_d = jax.device_put(bits)
+    lcs_d, nbs_d, sps_d = map(jax.device_put, (lcs, nbs, sps))
+    key = jax.random.PRNGKey(seed)
+    parts = []
+    pos = 0
+    while pos < n_samples:
+        n = min(chunk_samples, n_samples - pos)
+        nblk = -(-n // _B)
+        base, frac, crate, ph0, phr, amp = _anchors(
+            sats, fs, start_sample + pos, nblk, None)
+        if (base + int(np.ceil(crate.max() * _B)) + 1).max() >= 2 ** 31:
+            raise OverflowError("scenario too long for int32 chip indices")
+        key, sub = jax.random.split(key)
+        re, im = _expand_chunk(
+            codes_d, lcs_d, bits_d, nbs_d, sps_d,
+            jax.device_put(base.astype(np.int32)),
+            jax.device_put(frac), jax.device_put(crate),
+            jax.device_put(ph0), jax.device_put(phr),
+            jax.device_put(amp), sub, _B, bool(noise))
+        parts.append(xfer._combine(re[:n], im[:n]))
+        pos += n
+    x = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return x[:n_samples]

@@ -106,5 +106,11 @@ def build_static_scenario(ephemerides, rx_ecef, t_gps0: float,
             cn0_db_hz=cn0_db_hz,
             doppler_hz=-f_c * d1, doppler_rate_hz_s=-f_c * d2,
             delay_sec=d0, delay_chips=0.0,
+            # geometric carrier phase at t=0: the received phase is
+            # -2*pi*f_c*delay(t); without the constant term the simulated
+            # carrier has a per-satellite-per-receiver phase offset that
+            # makes double-difference ambiguities non-integer (RTK)
+            carrier_phase_rad=float(np.mod(-2.0 * np.pi * f_c * d0,
+                                           2.0 * np.pi)),
             nav_bits=(2 * stream - 1).astype(np.int8)))
     return sats

@@ -86,7 +86,9 @@ def test_lambda_identity_easy_case():
 def _epoch(rx_ecef, base_ecef, ephs, t, dtr_s, amb, rng, code_sig, carr_sig):
     """Synthesize one ObservationEpoch consistent with the RTK engine's
     transmit-time/Sagnac geometry (sat pos at interp_tow - clk, rotated by
-    the base-range light time)."""
+    the base-range light time).  carrier_phase_cycles uses the CHAIN
+    convention (accumulated PLL phase ~ -range/lambda + N), which the
+    engine negates at ingestion."""
     n = len(ephs)
     pr = np.zeros(n)
     ph = np.zeros(n)
@@ -101,7 +103,7 @@ def _epoch(rx_ecef, base_ecef, ephs, t, dtr_s, amb, rng, code_sig, carr_sig):
         p = rot @ pos
         r = np.linalg.norm(p - rx_ecef)
         pr[k] = r + C * dtr_s + rng.standard_normal() * code_sig
-        ph[k] = (r + C * dtr_s) / LAM + amb[k] \
+        ph[k] = -(r + C * dtr_s) / LAM + amb[k] \
             + rng.standard_normal() * carr_sig / LAM
     return ObservationEpoch(
         rx_time_s=t, tick_sample=0, valid=np.ones(n, bool),
@@ -148,13 +150,15 @@ def test_rtk_static_baseline_fix():
     assert err_fixed < 0.02, f"fixed baseline error {err_fixed:.3f} m"
     assert err_fixed <= err_float + 1e-9
 
-    # the fixed integers must equal the true DD ambiguities
+    # the fixed integers must equal the true DD ambiguities; the engine
+    # negates the chain-convention phase at ingestion, so its ambiguity
+    # states carry the opposite sign of the synthesized chain ambiguities
     ref = eng.refsat["GPS"]
     k_ref = prns.index(ref[1])
     for (sysk, prn), n_fix in sol.ambiguities.items():
         k = prns.index(prn)
         truth_dd = (amb_r[k] - amb_b[k]) - (amb_r[k_ref] - amb_b[k_ref])
-        assert n_fix == int(truth_dd), (prn, n_fix, truth_dd)
+        assert n_fix == -int(truth_dd), (prn, n_fix, truth_dd)
 
 
 def test_rtk_kinematic_mode_tracks_motion():

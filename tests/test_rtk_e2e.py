@@ -1,0 +1,97 @@
+"""End-to-end RTK: two conf-driven receiver runs fix a short baseline.
+
+The integration contract verified here (round-2 advisor finding): the
+tracking chain's accumulated-PLL-phase convention flows through
+observables -> RINEX writer -> RINEX reader -> RtkEngine and the DD
+ambiguities still fix to integers, with the telemetry half-cycle
+(inverted-preamble) correction applied.  Mirrors the reference's
+two-receiver relative positioning (rtklib_rtkpos.cc relpos) driven through
+PVT.positioning_mode=RTK_Static.
+"""
+
+import numpy as np
+import pytest
+
+from gnss_sim_receiver_tpu.models import outputs as out
+from gnss_sim_receiver_tpu.models.receiver import Receiver, ReceiverConf
+from gnss_sim_receiver_tpu.models.rtk import BaseObservations
+from gnss_sim_receiver_tpu.utils import geodesy
+from gnss_sim_receiver_tpu.utils.config import Configuration
+from tests.fixtures import (FS, rover_scenario_capture, rover_true_ecef,
+                            rtk_base_scenario_capture, rx_true_ecef)
+
+
+@pytest.fixture(scope="module")
+def base_products(tmp_path_factory):
+    """Run the base receiver over the cached RTK base capture and write its
+    RINEX obs file (the base half of the two-receiver scenario)."""
+    x, base_true = rtk_base_scenario_capture()
+    rx = Receiver(ReceiverConf(fs=FS, prns=tuple(range(1, 11)),
+                               max_channels=8))
+    run = rx.process_array(x)
+    assert run.solutions, "base receiver must fix"
+    path = tmp_path_factory.mktemp("rtk") / "base.obs"
+    week = next(iter(run.ephemerides.values())).week
+    out.write_rinex_obs(path, run.observation_epochs, run.channel_prns,
+                        week)
+    return path, base_true, run
+
+
+def test_rtk_e2e_two_receiver_baseline_fix(base_products):
+    base_rinex, base_true, base_run = base_products
+    x_rover, rover_true = rover_scenario_capture()
+    truth_baseline = np.asarray(rover_true) - np.asarray(base_true)
+
+    # conf-driven rover: PVT.positioning_mode routes epochs through the
+    # RTK engine (factory.rtk_conf_from_config keys)
+    from gnss_sim_receiver_tpu.models.factory import receiver_conf_from_config
+    base_str = ",".join(f"{v:.4f}" for v in np.asarray(base_true))
+    cfg = Configuration({
+        "GNSS-SDR.internal_fs_sps": str(int(FS)),
+        "Channels_1C.count": "8",
+        "PVT.positioning_mode": "RTK_Static",
+        "PVT.AR_ratio_threshold": "2.5",
+        "PVT.rtk_base_position_ecef": base_str,
+    })
+    conf = receiver_conf_from_config(cfg)
+    conf = type(conf)(**{**conf.__dict__, "prns": tuple(range(1, 11))})
+    rover = Receiver(conf)
+
+    epochs, prns_b, sys_b = out.read_rinex_obs(base_rinex)
+    base_obs = BaseObservations(epochs=epochs, prns=prns_b, systems=sys_b,
+                                base_ecef_m=np.asarray(base_true))
+    run = rover.process_array(x_rover, ephemerides=base_run.ephemerides,
+                              base_observations=base_obs)
+
+    assert run.rtk_solutions, "no RTK epochs formed"
+    fixed = [(t, s) for t, s in run.rtk_solutions if s.fixed]
+    assert fixed, (
+        f"never fixed; last ratio "
+        f"{run.rtk_solutions[-1][1].ratio:.2f}, float err "
+        f"{np.linalg.norm(run.rtk_solutions[-1][1].float_baseline_m - truth_baseline):.3f} m")
+    _, last = fixed[-1]
+    err_fixed = np.linalg.norm(last.baseline_m - truth_baseline)
+    assert err_fixed < 0.05, f"fixed baseline error {err_fixed:.3f} m"
+    # float solution should also have converged to dm level by the end
+    err_float = np.linalg.norm(last.float_baseline_m - truth_baseline)
+    assert err_float < 0.5, f"float baseline error {err_float:.3f} m"
+
+
+def test_rinex_obs_roundtrip(base_products):
+    """read_rinex_obs inverts write_rinex_obs (chain sign convention)."""
+    base_rinex, _, base_run = base_products
+    epochs, prns, systems = out.read_rinex_obs(base_rinex)
+    assert epochs and prns
+    src = [e for e in base_run.observation_epochs if e.valid.any()]
+    assert len(epochs) == len(src)
+    e0, s0 = epochs[-1], src[-1]
+    assert abs(e0.rx_time_s - s0.rx_time_s) < 1e-6
+    # every valid source channel appears with matching values
+    for c in np.flatnonzero(s0.valid):
+        prn = base_run.channel_prns[c]
+        j = prns.index(prn)
+        assert abs(e0.pseudorange_m[j] - s0.pseudorange_m[c]) < 5e-3
+        assert abs(e0.carrier_phase_cycles[j]
+                   - s0.carrier_phase_cycles[c]) < 5e-3
+        assert abs(e0.carrier_doppler_hz[j]
+                   - s0.carrier_doppler_hz[c]) < 5e-3
