@@ -41,7 +41,7 @@ def _bench_tracking(trk, prn_codes, jax, jnp, fs, n_channels, n_epochs,
     return realtime, n_channels * fs * realtime / 1e6
 
 
-def _bench_full_chain(duration_s: float = 120.0, n_channels: int = 12,
+def _bench_full_chain(duration_s: float = 300.0, n_channels: int = 12,
                       fs: float = 2_000_000.0):
     """End-to-end receiver realtime factor (the honest system number the
     round-2 verdict demanded): device-GENERATED multi-satellite scenario
@@ -78,7 +78,8 @@ def _bench_full_chain(duration_s: float = 120.0, n_channels: int = 12,
     conf = ReceiverConf(fs=fs, prns=tuple(range(1, len(offsets) + 1)),
                         max_channels=n_channels,
                         max_acq_channels=n_channels,
-                        pvt_rate_ms=100)
+                        pvt_rate_ms=500)   # the reference's default
+    #                                        PVT.output_rate_ms
     # run 1: compiles + correctness
     run = Receiver(conf).process_array(x)
     n_fix = len(run.solutions)

@@ -64,6 +64,8 @@ GALILEO_E5B_I_SECONDARY_CODE = (1, 1, 1, 0)
 # --- GLONASS L1 (FDMA) ------------------------------------------------------
 GLONASS_L1_FREQ_HZ = 1_602.0e6
 GLONASS_L1_DFREQ_HZ = 0.5625e6   # frequency-slot spacing (DFRQ1_GLO)
+GLONASS_L2_FREQ_HZ = 1_246.0e6
+GLONASS_L2_DFREQ_HZ = 0.4375e6   # L2 slot spacing (DFRQ2_GLO)
 GLONASS_CA_CODE_RATE_CPS = 0.511e6
 GLONASS_CA_CODE_LENGTH_CHIPS = 511
 # orbital-slot PRN -> frequency-channel number k (public GLONASS almanac

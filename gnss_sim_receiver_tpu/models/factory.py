@@ -33,6 +33,7 @@ from gnss_sim_receiver_tpu.models.receiver import (Receiver, ReceiverConf,
                                                    galileo_e5b_chain,
                                                    galileo_e6b_chain,
                                                    glonass_l1_chain,
+                                                   glonass_l2_chain,
                                                    gps_l2c_chain,
                                                    gps_l5_chain,
                                                    sbas_l1_chain)
@@ -54,6 +55,7 @@ _ACQ_IMPLS = {
     "5X": {"Galileo_E5a_Pcps_Acquisition"},
     "7X": {"Galileo_E5b_PCPS_Acquisition"},
     "1G": {"GLONASS_L1_CA_PCPS_Acquisition"},
+    "2G": {"GLONASS_L2_CA_PCPS_Acquisition"},
     "B1": {"BEIDOU_B1I_PCPS_Acquisition"},
     "B3": {"BEIDOU_B3I_PCPS_Acquisition"},
     "E6": {"Galileo_E6_PCPS_Acquisition"},
@@ -69,6 +71,7 @@ _TRK_IMPLS = {
     "5X": {"Galileo_E5a_DLL_PLL_Tracking"},
     "7X": {"Galileo_E5b_DLL_PLL_Tracking"},
     "1G": {"GLONASS_L1_CA_DLL_PLL_Tracking"},
+    "2G": {"GLONASS_L2_CA_DLL_PLL_Tracking"},
     "B1": {"BEIDOU_B1I_DLL_PLL_Tracking"},
     "B3": {"BEIDOU_B3I_DLL_PLL_Tracking"},
     "E6": {"Galileo_E6_DLL_PLL_Tracking"},
@@ -82,6 +85,7 @@ _DEFAULT_ACQ = {
     "5X": "Galileo_E5a_Pcps_Acquisition",
     "7X": "Galileo_E5b_PCPS_Acquisition",
     "1G": "GLONASS_L1_CA_PCPS_Acquisition",
+    "2G": "GLONASS_L2_CA_PCPS_Acquisition",
     "B1": "BEIDOU_B1I_PCPS_Acquisition",
     "B3": "BEIDOU_B3I_PCPS_Acquisition",
     "E6": "Galileo_E6_PCPS_Acquisition",
@@ -95,6 +99,7 @@ _DEFAULT_TRK = {
     "5X": "Galileo_E5a_DLL_PLL_Tracking",
     "7X": "Galileo_E5b_DLL_PLL_Tracking",
     "1G": "GLONASS_L1_CA_DLL_PLL_Tracking",
+    "2G": "GLONASS_L2_CA_DLL_PLL_Tracking",
     "B1": "BEIDOU_B1I_DLL_PLL_Tracking",
     "B3": "BEIDOU_B3I_DLL_PLL_Tracking",
     "E6": "Galileo_E6_DLL_PLL_Tracking",
@@ -112,7 +117,7 @@ _CHAIN_BUILDERS = {
     "S1": sbas_l1_chain,
 }
 # every signal group the factory recognises, reference order
-ALL_SIGNALS = ("1C", "1B", "2S", "L5", "5X", "7X", "E6", "1G", "B1",
+ALL_SIGNALS = ("1C", "1B", "2S", "L5", "5X", "7X", "E6", "1G", "2G", "B1",
                "B3", "S1")
 
 
@@ -246,10 +251,13 @@ def chains_from_config(config: Configuration) -> list[SignalChainConf]:
         if n <= 0:
             continue
         acq_impl, trk_impl = _check_impls(config, sig)
-        if sig == "1G":
+        if sig in ("1G", "2G"):
             # FDMA: one chain per occupied frequency slot
             # (pcps_acquisition.cc:211-230 d_doppler_bias); PRN -> slot map
             # from the constellation table (GLONASS_L1_L2_CA.h:134)
+            builder = glonass_l1_chain if sig == "1G" else glonass_l2_chain
+            dfreq = (constants.GLONASS_L1_DFREQ_HZ if sig == "1G"
+                     else constants.GLONASS_L2_DFREQ_HZ)
             by_slot: dict[int, list[int]] = {}
             for prn in range(1, 25):
                 k = constants.GLONASS_PRN_SLOT.get(prn)
@@ -261,14 +269,13 @@ def chains_from_config(config: Configuration) -> list[SignalChainConf]:
                     break
                 prns = by_slot[k]
                 nc = min(len(prns), remaining)
-                chain = glonass_l1_chain(fs, prns=prns, freq_slot=k,
-                                         n_channels=nc)
+                chain = builder(fs, prns=prns, freq_slot=k,
+                                n_channels=nc)
                 chain.acq = _acq_from_config(config, sig, chain.acq,
                                              acq_impl)
                 # keep the slot's carrier offset in the acquisition center
                 chain.acq = dataclasses.replace(
-                    chain.acq,
-                    doppler_center=k * constants.GLONASS_L1_DFREQ_HZ)
+                    chain.acq, doppler_center=k * dfreq)
                 chain.trk = _trk_from_config(config, sig, chain.trk,
                                              trk_impl)
                 chain.pinned = _pinned_channels(config, offset, nc)

@@ -1,0 +1,178 @@
+"""Precise Point Positioning: undifferenced code+carrier float filter.
+
+The role of the reference's rtklib PPP path (rtklib_ppp.cc pppos:
+PMODE_PPP_STATIC / PMODE_PPP_KINEMA routed from rtkpos,
+rtklib_rtkpos.cc:2308-2320): a sequential filter over UNDIFFERENCED
+pseudorange + carrier-phase observables estimating
+
+    x = [rover ECEF (3), c*clock (m), float ambiguity per satellite]
+
+Static mode pins the position states (no process noise); kinematic adds a
+random-walk.  The carrier ambiguities stay float (rtklib's default PPP is
+float too; PPP-AR needs network products out of scope here).  Dual-
+frequency iono-free combination and precise-product handling are not
+modeled: the filter consumes the framework's single-frequency
+observables, which matches the simulator (no iono) and degrades
+gracefully on real data fed through the iono hooks.
+
+Sign convention: ObservationEpoch.carrier_phase_cycles is the chain's
+accumulated PLL phase (~ -range/lambda); negated at ingestion exactly
+like models.rtk (see that module's docstring).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from gnss_sim_receiver_tpu import constants
+from gnss_sim_receiver_tpu.utils import geodesy
+
+C = constants.SPEED_OF_LIGHT_M_S
+OMEGA_E = constants.GPS_OMEGA_EARTH_DOT
+
+
+@dataclasses.dataclass
+class PppConf:
+    mode: str = "static"               # static | kinematic
+    elevation_mask_deg: float = 10.0
+    code_sigma_m: float = 1.0
+    carrier_sigma_m: float = 0.005
+    pos_process_noise_ms: float = 1.0  # kinematic random walk [m/sqrt(s)]
+    clk_process_noise_m: float = 100.0   # per-epoch clock random walk
+    amb_init_var: float = 1e4
+    min_sats: int = 4
+
+
+@dataclasses.dataclass
+class PppSolution:
+    valid: bool
+    rx_ecef_m: np.ndarray
+    rx_clock_bias_s: float
+    n_sats: int
+    sigma_pos_m: float      # sqrt trace of the position covariance
+
+
+class PppEngine:
+    """Feed one ObservationEpoch per call (`update`); returns the running
+    float solution.  State bookkeeping (ambiguity add/drop) mirrors
+    models.rtk._ensure_states."""
+
+    def __init__(self, conf: PppConf = PppConf()):
+        self.conf = conf
+        self.x = None
+        self.P = None
+        self.amb_keys: list = []
+
+    def _ensure_states(self, keys, amb0):
+        keep = [k for k in self.amb_keys if k in keys]
+        idx_old = {k: i for i, k in enumerate(self.amb_keys)}
+        all_keys = keep + [k for k in keys if k not in idx_old]
+        n = 4 + len(all_keys)
+        x = np.zeros(n)
+        P = np.zeros((n, n))
+        x[:4] = self.x[:4]
+        P[:4, :4] = self.P[:4, :4]
+        for i, k in enumerate(all_keys):
+            if k in idx_old:
+                j = 4 + idx_old[k]
+                x[4 + i] = self.x[j]
+                P[4 + i, :4] = self.P[j, :4]
+                P[:4, 4 + i] = self.P[:4, j]
+                for i2, k2 in enumerate(all_keys):
+                    if k2 in idx_old:
+                        P[4 + i, 4 + i2] = self.P[j, 4 + idx_old[k2]]
+            else:
+                x[4 + i] = amb0.get(k, 0.0)
+                P[4 + i, 4 + i] = self.conf.amb_init_var
+        self.x, self.P, self.amb_keys = x, P, all_keys
+
+    def update(self, obs, prns, ephemerides, systems=None,
+               carrier_freq_hz=None, x0=None) -> PppSolution:
+        conf = self.conf
+        bad = PppSolution(False, np.zeros(3), 0.0, 0, float("inf"))
+        prns = np.asarray(prns)
+        n_ch = len(prns)
+        systems = systems if systems is not None else ["GPS"] * n_ch
+        lam_all = (C / np.asarray(carrier_freq_hz, np.float64)
+                   if carrier_freq_hz is not None
+                   else np.full(n_ch, C / constants.GPS_L1_FREQ_HZ))
+
+        # first-call init: seed position from x0 (a single-point LS fix)
+        if self.x is None:
+            if x0 is None:
+                return bad
+            self.x = np.concatenate([np.asarray(x0, np.float64), [0.0]])
+            self.P = np.diag([100.0 ** 2] * 3 + [1e6 ** 2])
+            self.amb_keys = []
+        if conf.mode == "kinematic":
+            self.P[:3, :3] += np.eye(3) * conf.pos_process_noise_ms ** 2
+        self.P[3, 3] += conf.clk_process_noise_m ** 2
+
+        rov = self.x[:3]
+        meas = {}
+        for c in range(n_ch):
+            if not obs.valid[c]:
+                continue
+            sysc = systems[c]
+            key = (sysc, int(prns[c]))
+            ekey = int(prns[c]) if sysc == "GPS" else key
+            eph = ephemerides.get(ekey)
+            if eph is None:
+                continue
+            t_sv = obs.interp_tow_ms[c] / 1000.0
+            _, clk = eph.sat_pos_clock(t_sv)
+            pos, clk = eph.sat_pos_clock(t_sv - clk)
+            tau = np.linalg.norm(pos - rov) / C
+            ang = OMEGA_E * tau
+            rot = np.array([[np.cos(ang), np.sin(ang), 0.0],
+                            [-np.sin(ang), np.cos(ang), 0.0],
+                            [0.0, 0.0, 1.0]])
+            p = rot @ pos
+            el, _ = geodesy.elevation_azimuth(rov, p)
+            if np.degrees(el) < conf.elevation_mask_deg:
+                continue
+            lam = lam_all[c]
+            code = obs.pseudorange_m[c] + C * clk       # clock-corrected
+            carr = -lam * obs.carrier_phase_cycles[c] + C * clk
+            meas[key] = (p, code, carr, lam)
+        if len(meas) < conf.min_sats:
+            return bad
+
+        amb0 = {k: (m[2] - m[1]) / m[3] for k, m in meas.items()}
+        self._ensure_states(list(meas), amb0)
+        amb_idx = {k: 4 + i for i, k in enumerate(self.amb_keys)}
+
+        n_m = len(meas)
+        n_x = len(self.x)
+        H = np.zeros((2 * n_m, n_x))
+        z = np.zeros(2 * n_m)
+        Rd = np.zeros(2 * n_m)
+        rov = self.x[:3]
+        for i, (k, (p, code, carr, lam)) in enumerate(meas.items()):
+            d = rov - p
+            r = np.linalg.norm(d)
+            e = d / r
+            # carrier row: carr = r + clk + lam*N
+            z[i] = carr - (r + self.x[3]
+                           + lam * self.x[amb_idx[k]])
+            H[i, :3] = e
+            H[i, 3] = 1.0
+            H[i, amb_idx[k]] = lam
+            Rd[i] = conf.carrier_sigma_m ** 2
+            # code row
+            z[n_m + i] = code - (r + self.x[3])
+            H[n_m + i, :3] = e
+            H[n_m + i, 3] = 1.0
+            Rd[n_m + i] = conf.code_sigma_m ** 2
+
+        S = H @ self.P @ H.T + np.diag(Rd)
+        K = np.linalg.solve(S, H @ self.P).T
+        self.x = self.x + K @ z
+        self.P = (np.eye(n_x) - K @ H) @ self.P
+        self.P = 0.5 * (self.P + self.P.T)
+        return PppSolution(
+            valid=True, rx_ecef_m=self.x[:3].copy(),
+            rx_clock_bias_s=self.x[3] / C, n_sats=n_m,
+            sigma_pos_m=float(np.sqrt(np.trace(self.P[:3, :3]))))

@@ -55,7 +55,8 @@ class PvtSolution:
 
 def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
               x0=None, systems=None, carrier_freq_hz=None,
-              exclude_channels=(), fixed_clock_bias_s=None) -> PvtSolution:
+              exclude_channels=(), fixed_clock_bias_s=None,
+              sbas_corrections=None) -> PvtSolution:
     """Solve position/time (+velocity) from one ObservationEpoch.
 
     obs: models.observables.ObservationEpoch
@@ -90,7 +91,7 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
     if len(idx) < min_sats:
         return bad
 
-    pr = obs.pseudorange_m[idx]
+    pr = obs.pseudorange_m[idx].copy()
     tow_tx_s = obs.interp_tow_ms[idx] / 1000.0
     ephs = [ephemerides[_key(c)] for c in idx]
 
@@ -109,6 +110,15 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
         # (IS-GPS-200 20.3.3.3.3.2; Galileo BGD is the same form)
         sat_clk[k] = clk - (eph.tgd if conf.apply_tgd else 0.0)
         sat_vel[k] = eph.sat_vel(t_gps)
+        # SBAS fast + long-term corrections (DO-229 A.4.4.3/.7;
+        # rtklib_sbas.cc sbssatcorr): PR += PRC, sat state += deltas
+        if sbas_corrections is not None and systems[idx[k]] == "GPS":
+            prn_k = int(prns[idx[k]])
+            pr[k] += sbas_corrections.code_correction_m(prn_k)
+            lt = sbas_corrections.sat_correction(prn_k)
+            if lt is not None:
+                sat_pos[k] = sat_pos[k] + lt[0]
+                sat_clk[k] = sat_clk[k] + lt[1]
 
     # iterated LS for (x, y, z, c dtr) — or (x, y, z) with the clock held
     # at the propagated value
@@ -139,12 +149,28 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
         # ionocorr/tropcorr)
         atm = np.zeros(len(idx))
         if it >= 3 and (conf.iono_model != "OFF"
-                        or conf.trop_model != "OFF"):
+                        or conf.trop_model != "OFF"
+                        or sbas_corrections is not None):
             lat_i, lon_i, h_i = geodesy.ecef_to_llh(x[:3])
             for k in range(len(idx)):
                 el, az = geodesy.elevation_azimuth(x[:3], sat_pos[k])
                 el = max(el, np.radians(5.0))
-                if conf.iono_model == "Broadcast":
+                sbas_iono = None
+                if sbas_corrections is not None:
+                    # pierce point at 350 km (DO-229 A.4.4.10)
+                    re, hi = 6378136.3, 350e3
+                    psi = (np.pi / 2 - el
+                           - np.arcsin(re / (re + hi) * np.cos(el)))
+                    lat_ipp = np.arcsin(
+                        np.sin(lat_i) * np.cos(psi)
+                        + np.cos(lat_i) * np.sin(psi) * np.cos(az))
+                    lon_ipp = lon_i + np.arcsin(
+                        np.sin(psi) * np.sin(az) / np.cos(lat_ipp))
+                    sbas_iono = sbas_corrections.iono_delay_m(
+                        np.degrees(lat_ipp), np.degrees(lon_ipp), el)
+                if sbas_iono is not None:
+                    atm[k] += sbas_iono    # SBAS grid replaces Klobuchar
+                elif conf.iono_model == "Broadcast":
                     from gnss_sim_receiver_tpu.models.atmosphere import \
                         klobuchar_delay
                     atm[k] += klobuchar_delay(conf.iono_alpha,

@@ -48,11 +48,21 @@ class SignalChainConf:
     trk: TrackingConf | None = None
     code_provider: object = None       # prn -> +-1 sub-chip table
     sc_rate: float | None = None       # sub-chip rate for acquisition
+    # track_pilot chains: the DATA component's sub-chip table (telemetry
+    # prompt correlator; conf.trk.track_pilot selects the mode)
+    data_code_provider: object = None
 
     freq_slot: int = 0                 # GLONASS FDMA slot k (signal "1G")
     day_base_s: float = 0.0            # GLONASS day base for tk anchoring
     # chain-local channel index -> PRN pinning (Channel<i>.satellite)
     pinned: dict = dataclasses.field(default_factory=dict)
+    # secondary-band behavior: when another chain of the same system (a
+    # different carrier) exists, defer each PRN's acquisition until that
+    # primary band has locked it and search only the Doppler-projected
+    # narrow grid (gnss_flowgraph.cc:2615-2750 secondary-channel
+    # dispatch + project_doppler).  Without a primary chain the gate is
+    # inactive and the chain cold-starts normally.
+    assist_wait: bool = False
 
     def telemetry_decoder(self, prns):
         if self.signal in ("B1", "B3"):
@@ -60,7 +70,7 @@ class SignalChainConf:
             from gnss_sim_receiver_tpu.models.telemetry import \
                 BeidouB1iTelemetryDecoder
             return BeidouB1iTelemetryDecoder(prns)
-        if self.signal == "1G":
+        if self.signal in ("1G", "2G"):
             from gnss_sim_receiver_tpu.models.telemetry import \
                 GlonassTelemetryDecoder
             return GlonassTelemetryDecoder(
@@ -94,16 +104,34 @@ class SignalChainConf:
 
 
 def galileo_e1b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
+                      track_pilot: bool = False,
                       **trk_overrides) -> SignalChainConf:
-    """Convenience Galileo E1B chain: BOC(1,1) sub-chip engines, 4 ms
+    """Convenience Galileo E1 chain: BOC(1,1) sub-chip engines, 4 ms
     coherent acquisition, PLL-only pull-in (the reference disables FLL for
-    E1 for the same symbol-corruption reason)."""
+    E1 for the same symbol-corruption reason).
+
+    track_pilot=True mirrors the reference's default E1 configuration
+    (Tracking_1B.track_pilot=true): the loops track the E1-C PILOT
+    (CS25 secondary sync + wipeoff) while a separate data-prompt
+    correlator taps E1-B for I/NAV telemetry
+    (dll_pll_veml_tracking.cc:1050-1061)."""
     from gnss_sim_receiver_tpu import signals
     sig = signals.GALILEO_E1B
     trk_kw = dict(
         fs=fs, code_rate_cps=sig.sc_rate, code_length_chips=sig.sc_length,
         carrier_freq_hz=sig.carrier_freq_hz, early_late_space_chips=0.5,
         enable_fll_pullin=False, fll_pullin_epochs=100)
+    data_provider = None
+    if track_pilot:
+        trk_kw.update(
+            track_pilot=True,
+            secondary_code=tuple(
+                int(v) for v in (signals.e1c_secondary_code() > 0)))
+        code_provider = lambda p: signals.boc11_expand(
+            signals.galileo_e1_code(p, "C"))
+        data_provider = lambda p: signals.subchip_table(sig, p)
+    else:
+        code_provider = lambda p: signals.subchip_table(sig, p)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
         signal="1B", system="Galileo", prns=tuple(prns),
@@ -111,7 +139,8 @@ def galileo_e1b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         acq=AcqConf(fs_in=fs, sampled_ms=4, doppler_step=125.0,
                     max_dwells=2, make_two_steps=True, doppler_step2=31.25),
         trk=TrackingConf(**trk_kw),
-        code_provider=lambda p: signals.subchip_table(sig, p),
+        code_provider=code_provider,
+        data_code_provider=data_provider,
         sc_rate=sig.sc_rate)
 
 
@@ -130,6 +159,7 @@ def gps_l2c_chain(fs: float, prns=tuple(range(1, 33)), n_channels=4,
         fll_pullin_epochs=25, cn0_window_epochs=20)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
+        assist_wait=True,
         signal="2S", system="GPS", prns=tuple(prns),
         n_channels=n_channels, max_acq_channels=n_channels,
         acq=AcqConf(fs_in=fs, sampled_ms=20, doppler_max=5000.0,
@@ -156,6 +186,7 @@ def gps_l5_chain(fs: float, prns=tuple(range(1, 33)), n_channels=4,
         fll_pullin_epochs=100)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
+        assist_wait=True,
         signal="L5", system="GPS", prns=tuple(prns),
         n_channels=n_channels, max_acq_channels=n_channels,
         acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
@@ -181,6 +212,7 @@ def galileo_e5a_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         fll_pullin_epochs=100)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
+        assist_wait=True,
         signal="5X", system="Galileo", prns=tuple(prns),
         n_channels=n_channels, max_acq_channels=n_channels,
         acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
@@ -206,6 +238,7 @@ def beidou_b3i_chain(fs: float, prns=tuple(range(6, 31)), n_channels=4,
         fll_pullin_epochs=100)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
+        assist_wait=True,
         signal="B3", system="BeiDou", prns=tuple(prns),
         n_channels=n_channels, max_acq_channels=n_channels,
         acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
@@ -233,6 +266,7 @@ def galileo_e5b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         fll_pullin_epochs=100)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
+        assist_wait=True,
         signal="7X", system="Galileo", prns=tuple(prns),
         n_channels=n_channels, max_acq_channels=n_channels,
         acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
@@ -264,6 +298,7 @@ def galileo_e6b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         fll_pullin_epochs=100)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
+        assist_wait=True,
         signal="E6", system="Galileo", prns=tuple(prns),
         n_channels=n_channels, max_acq_channels=n_channels,
         acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
@@ -318,11 +353,46 @@ def glonass_l1_chain(fs: float, prns, freq_slot: int = 0,
         fs=fs, code_rate_cps=sig.chip_rate_cps,
         code_length_chips=sig.code_length_chips,
         carrier_freq_hz=sig.carrier_freq_hz + freq_slot * df,
+        doppler_bias_hz=freq_slot * df,
         early_late_space_chips=0.5, lock_rectify=True,
         enable_fll_pullin=True, fll_pullin_epochs=150)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
         signal="1G", system="GLONASS", prns=prns,
+        n_channels=n_channels or len(prns),
+        max_acq_channels=n_channels or len(prns),
+        acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
+                    doppler_step=250.0, doppler_center=freq_slot * df,
+                    max_dwells=2, make_two_steps=True, doppler_step2=62.5),
+        trk=TrackingConf(**trk_kw),
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.chip_rate_cps,
+        freq_slot=freq_slot, day_base_s=day_base_s)
+
+
+def glonass_l2_chain(fs: float, prns, freq_slot: int = 0,
+                     n_channels: int | None = None, day_base_s: float = 0.0,
+                     **trk_overrides) -> SignalChainConf:
+    """GLONASS L2 C/A chain ("2G"): the same 511-chip C/A code and GNAV
+    stream on the 1246 MHz FDMA carrier (slot spacing 437.5 kHz) — the
+    reference's GLONASS_L2_CA blocks (glonass_l2_ca_pcps_acquisition.cc /
+    glonass_l2_ca_dll_pll_tracking.cc).  assist_wait lets an L1 lock
+    project Doppler by the 7/9 carrier ratio."""
+    from gnss_sim_receiver_tpu import constants, signals
+    sig = signals.GLONASS_L2_CA
+    df = constants.GLONASS_L2_DFREQ_HZ
+    prns = tuple(prns)
+    trk_kw = dict(
+        fs=fs, code_rate_cps=sig.chip_rate_cps,
+        code_length_chips=sig.code_length_chips,
+        carrier_freq_hz=sig.carrier_freq_hz + freq_slot * df,
+        doppler_bias_hz=freq_slot * df,
+        early_late_space_chips=0.5, lock_rectify=True,
+        enable_fll_pullin=True, fll_pullin_epochs=150)
+    trk_kw.update(trk_overrides)
+    return SignalChainConf(
+        assist_wait=True,
+        signal="2G", system="GLONASS", prns=prns,
         n_channels=n_channels or len(prns),
         max_acq_channels=n_channels or len(prns),
         acq=AcqConf(fs_in=fs, sampled_ms=1, doppler_max=5000.0,
@@ -439,6 +509,12 @@ class ReceiverRun:
     # fork orbital EKF products: [(rx_time_s, pos_ecef, vel_ecef,
     # clock_bias_s, clock_drift_ss)] when PVT.enable_pvt_ekf
     ekf_solutions: list = dataclasses.field(default_factory=list)
+    # PPP float-filter products: [(rx_time_s, models.ppp.PppSolution)]
+    # when PVT.positioning_mode = PPP_*
+    ppp_solutions: list = dataclasses.field(default_factory=list)
+    # broadcast assistance decoded from LNAV subframes 4/5
+    almanac: dict = dataclasses.field(default_factory=dict)
+    iono_utc: object = None
 
 
 class _ChainRt:
@@ -451,8 +527,9 @@ class _ChainRt:
         self.mgr = AcquisitionManager(spec.prns, n,
                                       max_acq_channels=spec.max_acq_channels,
                                       pinned=spec.pinned)
-        self.trk = TrackingEngine(spec.trk, prns=[0] * n,
-                                  code_provider=spec.code_provider)
+        self.trk = TrackingEngine(
+            spec.trk, prns=[0] * n, code_provider=spec.code_provider,
+            data_code_provider=spec.data_code_provider)
         self.tlm = spec.telemetry_decoder([0] * n)
         self.nominal = spec.trk.nominal_epoch_samples
         self.margin = spec.trk.block_size + 64
@@ -461,6 +538,7 @@ class _ChainRt:
         self.done = 0
         self.total = 0
         self.decim = 1                # set by the receiver (tick stride)
+        self.sbas_consumed = 0        # messages already fed to corrections
 
     def eph_key(self, prn: int):
         return prn if self.spec.system == "GPS" else (self.spec.system, prn)
@@ -527,16 +605,19 @@ class ReceiverSession:
     def __init__(self, conf: ReceiverConf, collect_track_outputs=False,
                  ephemerides=None, base_observations=None):
         mode = conf.pvt.positioning_mode
-        if mode.startswith("PPP") or mode == "DGPS":
-            # modes the framework does not implement must fail loudly at
+        if mode == "DGPS":
+            # a mode the framework does not implement must fail loudly at
             # run time, not silently fall through to single-point LS
             # (round-2 verdict: validate-then-ignore).  Parsing a conf
-            # naming them stays legal — reference confs default to
-            # PPP_Static.
+            # naming it stays legal.
             raise NotImplementedError(
                 f"PVT.positioning_mode {mode} is not implemented")
         self.conf = conf
         self.collect = bool(collect_track_outputs)
+        # full-outputs mode pushes every epoch into the observables
+        # history, so cap chunk growth lower there; decimated mode pushes
+        # one row per tick
+        self.max_mult = 8 if self.collect else 128
         chains = []
         n_total = 0
         for spec in conf.all_chains():
@@ -560,6 +641,16 @@ class ReceiverSession:
         self.freq_map = np.concatenate(
             [np.full(rt.spec.n_channels, rt.spec.trk.carrier_freq_hz)
              for rt in chains])
+        # the observables history must hold everything ONE chunk can push
+        # before ticks are pulled — at the largest adaptive chunk
+        for rt in chains:
+            epoch_ms = rt.nominal / conf.fs * 1000.0
+            decim = (1 if self.collect else
+                     max(1, int(min(conf.obs.interval_ms, 90.0)
+                                // epoch_ms)))
+            rows = int(conf.chunk_epochs * self.max_mult // decim) + 256
+            if conf.obs.history_len < rows:
+                conf.obs.history_len = rows
         self.obs_eng = ObservablesEngine(conf.obs, n_channels=n_total,
                                          carrier_freq_hz=self.freq_map)
         self.ephemerides = dict(ephemerides or {})
@@ -614,6 +705,17 @@ class ReceiverSession:
                       else "static"))
             self.rtk_eng = RtkEngine(rtk_conf, base_ecef_m=base_ecef)
 
+        # PPP float filter (PVT.positioning_mode = PPP_*): undifferenced
+        # code+carrier EKF (models.ppp, rtklib_ppp.cc pppos role), seeded
+        # from the first LS fix
+        self.ppp_eng = None
+        self.ppp_solutions = []
+        if mode.startswith("PPP"):
+            from gnss_sim_receiver_tpu.models.ppp import PppConf, PppEngine
+            self.ppp_eng = PppEngine(PppConf(
+                mode=("kinematic" if mode == "PPP_Kinematic"
+                      else "static")))
+
         # fork orbital-dynamics EKF (PVT.enable_pvt_ekf,
         # rtklib_pvt.cc:491-515 hook -> models.pvt_ekf_orbital)
         self.pvt_ekf = None
@@ -637,6 +739,21 @@ class ReceiverSession:
         # per-channel telemetry fail-safe state (global channel index)
         self._trk_start_abs = np.full(n_total, -1, np.int64)
         self._tow_seen = np.zeros(n_total, bool)
+        # cross-band Doppler assistance: (system, prn) -> (doppler_hz,
+        # carrier_freq_hz) from any chain currently tracking that
+        # satellite (the flowgraph's project_doppler share,
+        # gnss_flowgraph.cc:1774-1795); secondary-band acquisitions of a
+        # primary-locked PRN search only a narrow scaled grid
+        self.doppler_map: dict = {}
+        self.assist_log: list = []    # (signal, prn, center_hz, detected)
+        # SBAS corrections state, fed from S1-chain messages and applied
+        # in PVT (rtklib_sbas.cc sbssatcorr/sbsioncorr roles); MT9 GEO
+        # navigation becomes an ("SBAS", prn) ephemeris so the GEO itself
+        # ranges like any satellite
+        self.sbas_corr = None
+        if any(rt.spec.signal == "S1" for rt in chains):
+            from gnss_sim_receiver_tpu.nav.sbas import SbasCorrections
+            self.sbas_corr = SbasCorrections()
 
         # chunk wall-duration from the (legacy) 1 ms-epoch count
         self.chunk_s = conf.chunk_epochs * 1e-3
@@ -731,8 +848,9 @@ class ReceiverSession:
 
     def hotstart(self) -> None:
         """Restart channels, keep ephemerides AND the last fix (PVT warm
-        seed)."""
+        seed); predicted-visible satellites search first."""
         self._reset_channels()
+        self.prioritize_visible()
         self._standby = False
 
     def status_text(self) -> str:
@@ -752,6 +870,64 @@ class ReceiverSession:
         else:
             parts.append("fix=none")
         return " ".join(parts)
+
+    def broadcast_almanac(self) -> dict:
+        alm = {}
+        for rt in self.chains:
+            alm.update(getattr(rt.tlm, "almanac", {}) or {})
+        return alm
+
+    def broadcast_iono_utc(self):
+        for rt in self.chains:
+            iono = getattr(rt.tlm, "iono_utc", None)
+            if iono:
+                return iono
+        return None
+
+    def prioritize_visible(self, rx_ecef=None, t_gps_s=None) -> list:
+        """Reorder every chain's acquisition pool so satellites
+        predicted visible (from almanac or held ephemerides at the last
+        fix) search first — control_thread.cc:1011 get_visible_sats +
+        gnss_flowgraph.cc:2012 priorize_satellites.  Returns the visible
+        PRN list."""
+        import collections
+
+        from gnss_sim_receiver_tpu.nav.ephemeris import almanac_to_ephemeris
+        from gnss_sim_receiver_tpu.utils import geodesy as geo
+        if rx_ecef is None and self.last_fix is not None:
+            rx_ecef = self.last_fix.rx_ecef_m
+        if rx_ecef is None:
+            return []
+        if t_gps_s is None:
+            t_gps_s = (self.last_fix_time
+                       if self.last_fix_time is not None else 0.0)
+        alm = self.broadcast_almanac()
+        visible = []
+        elevs = {}
+        for rt in self.chains:
+            if rt.spec.system != "GPS":
+                continue
+            for prn in rt.spec.prns:
+                eph = self.ephemerides.get(prn)
+                if eph is None and prn in alm:
+                    eph = almanac_to_ephemeris(prn, alm[prn])
+                if eph is None:
+                    continue
+                try:
+                    pos, _ = eph.sat_pos_clock(t_gps_s)
+                except Exception:
+                    continue
+                el, _ = geo.elevation_azimuth(np.asarray(rx_ecef), pos)
+                elevs[prn] = float(np.degrees(el))
+                if elevs[prn] >= 5.0:
+                    visible.append(prn)
+        for rt in self.chains:
+            if rt.spec.system != "GPS":
+                continue
+            pool = list(rt.mgr.pool)
+            pool.sort(key=lambda p: -elevs.get(p, -90.0))
+            rt.mgr.pool = collections.deque(pool)
+        return sorted(visible, key=lambda p: -elevs[p])
 
     def on_command(self, name: str) -> str:
         """Wire-protocol dispatch (tcp_cmd_interface.cc handler names)."""
@@ -832,6 +1008,10 @@ class ReceiverSession:
     def _iterate(self, final: bool) -> bool:
         """One FSM + chunk iteration.  Returns False when nothing could
         advance (caller should wait for more data)."""
+        import os as _os
+        import time as _time
+        _dbg = _os.environ.get("GNSS_TPU_TIMING")
+        _t0 = _time.perf_counter()
         conf = self.conf
         chains = self.chains
         end_abs = self._end_abs
@@ -852,25 +1032,65 @@ class ReceiverSession:
             mgr.schedule()
             acquiring = mgr.acquiring_channels()
             if acquiring:
-                quiet = False
-                prns_search = tuple(mgr.channels[c].prn for c in acquiring)
-                acq_eng = rt.acq_engines.get(prns_search)
-                if acq_eng is None:
-                    acq_eng = PcpsAcquisitionEngine(
-                        spec.acq, prns=prns_search,
-                        code_provider=spec.code_provider,
-                        sc_rate=spec.sc_rate)
-                    rt.acq_engines[prns_search] = acq_eng
-                need = acq_eng.n_samples_needed
-                acq_x, acq_base = self._acq_input()
-                if self.cursor + need <= end_abs:
-                    # fused search: one dispatch, one packed pull
-                    res = acq_eng.acquire_from(acq_x,
-                                               self.cursor - acq_base)
-                    for k, c in enumerate(acquiring):
+                f_this = spec.trk.carrier_freq_hz
+                # split into Doppler-assisted channels (satellite already
+                # locked on another band: project its Doppler by the
+                # carrier ratio, search a +-250 Hz grid in one dwell) and
+                # cold full-grid channels
+                assisted = []
+                cold = []
+                centers = []
+                # assist gate active only when a same-system chain on a
+                # different carrier exists to provide Doppler
+                gate = spec.assist_wait and any(
+                    r.spec.system == spec.system
+                    and r.spec.trk.carrier_freq_hz != f_this
+                    for r in chains)
+                for c in acquiring:
+                    hit = self.doppler_map.get(
+                        (spec.system, mgr.channels[c].prn))
+                    if hit is not None and hit[1] != f_this:
+                        assisted.append(c)
+                        centers.append(hit[0] * f_this / hit[1])
+                    elif not gate:
+                        cold.append(c)
+                    # gated channels stay ACQUIRING, searched once their
+                    # primary band locks
+                for group, is_assist in ((cold, False), (assisted, True)):
+                    if not group:
+                        continue
+                    prns_search = tuple(mgr.channels[c].prn for c in group)
+                    acq_eng = rt.acq_engines.get(prns_search)
+                    if acq_eng is None:
+                        acq_eng = PcpsAcquisitionEngine(
+                            spec.acq, prns=prns_search,
+                            code_provider=spec.code_provider,
+                            sc_rate=spec.sc_rate)
+                        rt.acq_engines[prns_search] = acq_eng
+                    need = acq_eng.n_samples_needed
+                    acq_x, acq_base = self._acq_input()
+                    if self.cursor + need > end_abs:
+                        continue
+                    if is_assist:
+                        start = self.cursor - acq_base
+                        res = acq_eng.acquire_assisted(
+                            acq_x, start, np.asarray(centers))
+                        for k, c in enumerate(group):
+                            self.assist_log.append(
+                                (spec.signal, mgr.channels[c].prn,
+                                 centers[k], bool(res.detected[k])))
+                    else:
+                        # fused search: one dispatch, one packed pull
+                        res = acq_eng.acquire_from(acq_x,
+                                                   self.cursor - acq_base)
+                    for k, c in enumerate(group):
                         mgr.on_acq_result(c, bool(res.detected[k]),
                                           float(res.doppler_hz[k]))
                         if mgr.channels[c].state == ChannelState.TRACKING:
+                            # a NEW lock is an FSM event (failed
+                            # re-searches of absent satellites are routine
+                            # and must not block chunk growth)
+                            quiet = False
                             prn = mgr.channels[c].prn
                             rt.trk.set_channel_prn(c, prn)
                             rt.trk.start_tracking(
@@ -917,9 +1137,14 @@ class ReceiverSession:
                                                 decim=rt.decim)))
 
         # ---- phase 2: pull + host-process every chain's chunk --------------
+        _t1 = _time.perf_counter()
         for rt, tracking, n, handle in staged:
             spec = rt.spec
             outs = rt.trk.process_end(handle)
+            if _dbg:
+                print(f"[tim] n={n} dispatch={_t1 - _t0:.3f}s "
+                      f"pull={_time.perf_counter() - _t1:.3f}s",
+                      flush=True)
             for c in range(spec.n_channels):
                 rt.epoch_base[c] += n
             if self.collected is not None:
@@ -972,6 +1197,40 @@ class ReceiverSession:
             tw = tlm_obs.tow_valid.any(axis=0)
             self._tow_seen[rt.offset:rt.offset + spec.n_channels] |= tw
 
+            # decoded broadcast iono feeds the Klobuchar model
+            # (gps_navigation_message iono -> rtklib ionocorr path)
+            iono = getattr(rt.tlm, "iono_utc", None)
+            if iono and conf.pvt.iono_model == "Broadcast":
+                conf.pvt.iono_alpha = tuple(
+                    iono.get(f"alpha{i}", 0.0) for i in range(4))
+                conf.pvt.iono_beta = tuple(
+                    iono.get(f"beta{i}", 0.0) for i in range(4))
+
+            # publish per-satellite Doppler for cross-band assisted
+            # acquisition (project_doppler source side)
+            dop_last = outs["carrier_doppler_hz"][-1]
+            valid_last = outs["valid"][-1]
+            for c in tracking:
+                if valid_last[c]:
+                    self.doppler_map[(spec.system, rt.mgr.channels[c].prn)] \
+                        = (float(dop_last[c]), spec.trk.carrier_freq_hz)
+
+            # SBAS: feed new messages into the correction state, publish
+            # MT9 GEO navigation as a rangeable ephemeris
+            if spec.signal == "S1" and self.sbas_corr is not None:
+                from gnss_sim_receiver_tpu.nav.sbas import SbasGeoEphemeris
+                msgs = rt.tlm.messages
+                for c, prn, ev in msgs[rt.sbas_consumed:]:
+                    if not ev.crc_ok:
+                        continue
+                    self.sbas_corr.push(ev)
+                    if ev.msg_type == 9:
+                        nav = rt.tlm.geo_nav(c)
+                        if nav is not None:
+                            self.ephemerides[("SBAS", prn)] = \
+                                SbasGeoEphemeris(prn, nav)
+                rt.sbas_consumed = len(msgs)
+
             # --- loss-of-lock events + TLM-timeout fail-safe ---------------
             quiet = self._handle_lock_loss(rt, tracking) and quiet
             if conf.tlm_timeout_s > 0:
@@ -996,12 +1255,18 @@ class ReceiverSession:
                 self.cursor = max(self.cursor, up_to - rt.margin)
 
         # --- observables + PVT ----------------------------------------------
+        _t2 = _time.perf_counter()
         if tick_bounds:
             self._solve(min(tick_bounds))
+        if _dbg:
+            print(f"[tim] host={_time.perf_counter() - _t2:.3f}s "
+                  f"iter_total={_time.perf_counter() - _t0:.3f}s",
+                  flush=True)
         elif not progressed and final:
             self.cursor += int(self.chunk_s * conf.fs)
             advanced = True
-        self.chunk_mult = min(self.chunk_mult * 2, 8) if quiet else 1
+        self.chunk_mult = (min(self.chunk_mult * 2, self.max_mult)
+                           if quiet else 1)
         return advanced
 
     def _handle_lock_loss(self, rt, tracking) -> bool:
@@ -1048,7 +1313,8 @@ class ReceiverSession:
                             systems=sys_map,
                             carrier_freq_hz=freq_map,
                             exclude_channels=excl,
-                            fixed_clock_bias_s=fixed_clk)
+                            fixed_clock_bias_s=fixed_clk,
+                            sbas_corrections=self.sbas_corr)
             if sol.valid:
                 if self.pvt_kf is not None:
                     self.pvt_kf.update(sol)
@@ -1085,6 +1351,17 @@ class ReceiverSession:
                         pos, vel, bias, drift = self.pvt_ekf.state_ecef()
                         self.ekf_solutions.append(
                             (epoch.rx_time_s, pos, vel, bias, drift))
+            # PPP float filter: undifferenced update per epoch (the LS
+            # fix seeds the first update; afterwards PPP runs even on
+            # epochs where LS fails)
+            if self.ppp_eng is not None and (sol.valid
+                                             or self.ppp_eng.x is not None):
+                psol = self.ppp_eng.update(
+                    epoch, prn_map, self.ephemerides, systems=sys_map,
+                    carrier_freq_hz=freq_map,
+                    x0=sol.rx_ecef_m if sol.valid else None)
+                if psol.valid:
+                    self.ppp_solutions.append((epoch.rx_time_s, psol))
             # RTK: pair with the base epoch and run the DD engine
             if self.rtk_eng is not None:
                 base_ep = self.base_observations.aligned_to(
@@ -1132,7 +1409,10 @@ class ReceiverSession:
             clock_differences=self.clock_differences,
             rx_clock_bias_log=self.rx_clock_bias_log,
             rtk_solutions=self.rtk_solutions,
-            ekf_solutions=self.ekf_solutions)
+            ekf_solutions=self.ekf_solutions,
+            ppp_solutions=self.ppp_solutions,
+            almanac=self.broadcast_almanac(),
+            iono_utc=self.broadcast_iono_utc())
 
 
 class Receiver:

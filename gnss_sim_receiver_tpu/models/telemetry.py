@@ -94,6 +94,11 @@ class TelemetryDecoder:
     def __init__(self, prns):
         self.prns = [int(p) for p in prns]
         self.ch = [_ChannelTlmState() for _ in self.prns]
+        # assistance data from subframes 4/5 (gps_navigation_message.cc
+        # almanac / iono / UTC decode, :494+): prn -> almanac field dict,
+        # plus the broadcast iono/UTC parameter set
+        self.almanac: dict[int, dict] = {}
+        self.iono_utc: dict | None = None
 
     def reset_channel(self, c: int, prn: int | None = None,
                       epoch_base: int | None = None) -> None:
@@ -184,6 +189,12 @@ class TelemetryDecoder:
             st.anchor_epoch = sf_start_epoch
             st.anchor_tow_ms = tow_sf_start_s * 1000.0
             st.polarity_inverted = bool(ev.inverted)
+            if ev.sf_id in (4, 5) and ev.fields:
+                sv = int(ev.fields.get("sv_id", 0))
+                if sv == lnav.IONO_SV_ID:
+                    self.iono_utc = dict(ev.fields)
+                elif 1 <= sv <= 32:
+                    self.almanac[sv] = dict(ev.fields)
             if ev.sf_id in (1, 2, 3):
                 st.sf_fields[ev.sf_id] = ev.fields
                 if all(k in st.sf_fields for k in (1, 2, 3)):
@@ -898,6 +909,12 @@ class _SbasChannelTlmState:
     corr_shift: float = 0.0      # sum e[2k+1] * e[2k+2]
     n_voted: int = 0
     phase: int | None = None
+    pend_base: int = -1          # global epoch index of pend[0]
+    n_sym_fed: int = 0           # symbols fed to the message decoder
+    # MT12-anchored GPS time (enables ranging on the GEO): epoch index +
+    # TOW of a message-start second boundary
+    anchor_epoch: int | None = None
+    anchor_tow_ms: float = 0.0
 
 
 class SbasL1TelemetryDecoder:
@@ -944,6 +961,8 @@ class SbasL1TelemetryDecoder:
         for c in range(n_ch):
             st = self.ch[c]
             pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
+            if len(pi) and not st.pend:
+                st.pend_base = base + int(np.argmax(v))
             st.pend.extend(pi.tolist())
             if st.phase is None:
                 # pairing vote over the buffered epochs (Sample_Aligner)
@@ -962,14 +981,28 @@ class SbasL1TelemetryDecoder:
                     continue             # ambiguous, keep buffering
                 st.phase = 0 if st.corr_paired >= st.corr_shift else 1
                 del st.pend[:st.phase]   # odd pairing drops one epoch
+                st.pend_base += st.phase
             n_sym = len(st.pend) // 2
             if not n_sym:
                 continue
             syms = np.asarray(st.pend[:2 * n_sym], np.float64
                               ).reshape(-1, 2).sum(axis=1)
+            # decoder symbol s starts at global epoch sym_epoch0 + 2 s
+            sym_epoch0 = st.pend_base - 2 * st.n_sym_fed
             del st.pend[:2 * n_sym]
+            st.pend_base += 2 * n_sym
+            st.n_sym_fed += n_sym
             for ev in st.decoder.push_symbols(syms):
                 self.messages.append((c, self.prns[c], ev))
+                if ev.crc_ok and ev.msg_type == 12:
+                    # MT12 GPS-time anchor: the message starts on a whole
+                    # SBAS-network second == its broadcast GPS TOW
+                    from gnss_sim_receiver_tpu.nav.sbas import parse_mt12
+                    tow_s, _wk = parse_mt12(ev.payload)
+                    st.anchor_epoch = sym_epoch0 + 2 * ev.start_symbol
+                    st.anchor_tow_ms = tow_s * 1000.0
+            _stamp_tow_column(tow[:, c], v, base, st, self.EPOCH_MS,
+                              after_anchor=True)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=[])

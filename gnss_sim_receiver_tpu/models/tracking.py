@@ -84,6 +84,17 @@ class TrackingConf:
     # per-epoch wipeoff (reference acquire_secondary(),
     # dll_pll_veml_tracking.cc:925-969; |corr| must equal the length)
     secondary_code: tuple = ()
+    # non-physical baseband carrier offset excluded from code-Doppler
+    # aiding (GLONASS FDMA slot k rides at +k*DFRQ in the tracked Doppler
+    # but does not Doppler the code; the reference biases acquisition by
+    # d_doppler_bias for the same reason, pcps_acquisition.cc:211-230)
+    doppler_bias_hz: float = 0.0
+    # track_pilot (dll_pll_conf.h): the LOOPS close on the pilot code
+    # (this conf's code/secondary describe the pilot component) while a
+    # separate data-prompt correlator taps the data code for telemetry
+    # (dll_pll_veml_tracking.cc:1050-1061) — the engine must then be
+    # built with data_code_provider
+    track_pilot: bool = False
     kf_q_code_chips2: float = 1e-4
     kf_q_phase_cyc2: float = 1e-6
     kf_q_dop_hz2: float = 1.0
@@ -251,7 +262,9 @@ def _dll_pll_update(conf: TrackingConf, state: TrackState, prompt,
     dll_new, dll_out = lf.second_order_step(
         state.dll, code_err_chips, jnp.float32(dll_bw), t_int)
     code_freq = (jnp.float32(conf.code_rate_cps)
-                 * (1.0 + carrier_doppler / jnp.float32(conf.carrier_freq_hz))
+                 * (1.0 + (carrier_doppler
+                           - jnp.float32(conf.doppler_bias_hz))
+                    / jnp.float32(conf.carrier_freq_hz))
                  + dll_out)
     return carrier_doppler, code_freq, pll_new, dll_new
 
@@ -317,12 +330,14 @@ def _kf_update(conf: TrackingConf, state: TrackState, prompt,
             doppler + 4.0 * jnp.float32(conf.fll_bw_hz) * t_int * freq_err,
             doppler)
     code_freq = (jnp.float32(conf.code_rate_cps)
-                 * (1.0 + doppler / jnp.float32(conf.carrier_freq_hz)))
+                 * (1.0 + (doppler - jnp.float32(conf.doppler_bias_hz))
+                    / jnp.float32(conf.carrier_freq_hz)))
     return doppler, code_freq, dtau, dphi, p_new, fdot
 
 
 def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
-                x_chunk: jax.Array, state: TrackState):
+                x_chunk: jax.Array, state: TrackState,
+                data_codes: jax.Array | None = None):
     """Advance every channel by one code epoch. Returns (state', outputs)."""
     fs = conf.fs
     code_len = jnp.float32(conf.code_length_chips)
@@ -338,6 +353,16 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
     corr = correlator.correlate_multitap(
         blocks, codes, taps, state.rem_code_phase, state.code_freq,
         state.rem_carr_phase, state.carrier_doppler, n_c, fs)
+    # track_pilot: separate data-prompt correlator on the data code (the
+    # loops and lock detectors below stay on the pilot correlators)
+    data_prompt = None
+    if conf.track_pilot and data_codes is not None:
+        zero_tap = jnp.zeros(1, jnp.float32)
+        dcorr = correlator.correlate_multitap(
+            blocks, data_codes, zero_tap, state.rem_code_phase,
+            state.code_freq, state.rem_carr_phase, state.carrier_doppler,
+            n_c, fs)
+        data_prompt = dcorr[:, 0]
     veml = conf.very_early_late_space_chips > 0.0
     if veml:   # taps = [VE, E, P, L, VL]
         v_early, early, prompt, late, v_late = (corr[:, 0], corr[:, 1],
@@ -585,7 +610,11 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
                          state.sec_polarity),
     )
     outputs = {
-        "prompt": prompt,
+        # telemetry consumes "prompt": in track_pilot mode that is the
+        # DATA component's prompt; the pilot prompt stays available for
+        # diagnostics
+        "prompt": data_prompt if data_prompt is not None else prompt,
+        "pilot_prompt": prompt,
         "early_mag": jnp.abs(early),
         "late_mag": jnp.abs(late),
         "carrier_doppler_hz": state.carrier_doppler,
@@ -609,10 +638,11 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
 
 @partial(jax.jit, static_argnames=("conf", "n_epochs"))
 def track_chunk(conf: TrackingConf, n_epochs: int, codes: jax.Array,
-                taps: jax.Array, x_chunk: jax.Array, state: TrackState):
+                taps: jax.Array, x_chunk: jax.Array, state: TrackState,
+                data_codes: jax.Array | None = None):
     """Scan `n_epochs` code epochs of every channel over one sample chunk."""
     def body(s, _):
-        return _epoch_step(conf, codes, taps, x_chunk, s)
+        return _epoch_step(conf, codes, taps, x_chunk, s, data_codes)
     return jax.lax.scan(body, state, None, length=n_epochs)
 
 
@@ -632,7 +662,8 @@ _PACK_I32 = ("pos_start", "n_samples")
 @partial(jax.jit, static_argnames=("conf", "n_epochs", "full_outputs"))
 def track_chunk_packed(conf: TrackingConf, n_epochs: int, codes: jax.Array,
                        taps: jax.Array, x_chunk: jax.Array,
-                       state: TrackState, full_outputs: bool = True):
+                       state: TrackState, full_outputs: bool = True,
+                       data_codes: jax.Array | None = None):
     """track_chunk + on-device packing of every output the host needs into
     exactly TWO dense arrays, so one chunk costs two device->host
     transfers instead of ~15.  On a remote-attached TPU each transfer has
@@ -645,7 +676,7 @@ def track_chunk_packed(conf: TrackingConf, n_epochs: int, codes: jax.Array,
     ([3*C]) — so the host FSM reads everything in a single pull.
     """
     new_state, outs = track_chunk(conf, n_epochs, codes, taps, x_chunk,
-                                  state)
+                                  state, data_codes)
     planes = dict(
         prompt_re=jnp.real(outs["prompt"]),
         prompt_im=jnp.imag(outs["prompt"]),
@@ -674,10 +705,22 @@ _DECIM_F32 = ("carrier_doppler_hz", "acc_phase_cycles",
               "code_phase_samples", "cn0_db_hz")
 
 
+@partial(jax.jit, static_argnames=("win",))
+def _window_slice(x, start, win: int):
+    """Contiguous device-side window cut (traced start, static pow2
+    length).  The tracking scan's per-epoch dynamic gathers are ~1000x
+    slower against a multi-10M-sample array than against a few-Msample
+    one on TPU, so every chunk runs against a window barely larger than
+    what it reads — one cheap contiguous slice per chunk buys back the
+    whole scan speed."""
+    return jax.lax.dynamic_slice_in_dim(x, start, win)
+
+
 @partial(jax.jit, static_argnames=("conf", "n_epochs", "decim"))
 def track_chunk_packed_decim(conf: TrackingConf, n_epochs: int, decim: int,
                              codes: jax.Array, taps: jax.Array,
-                             x_chunk: jax.Array, state: TrackState):
+                             x_chunk: jax.Array, state: TrackState,
+                             data_codes: jax.Array | None = None):
     """track_chunk with the device->host transfer cut to what the host
     pipeline actually consumes per rate class:
 
@@ -701,7 +744,7 @@ def track_chunk_packed_decim(conf: TrackingConf, n_epochs: int, decim: int,
     (f32 bitcast)].
     """
     new_state, outs = track_chunk(conf, n_epochs, codes, taps, x_chunk,
-                                  state)
+                                  state, data_codes)
     pre = jnp.real(outs["prompt"])                      # [T, C]
     valid = outs["valid"]
     scale = jnp.maximum(jnp.max(jnp.abs(pre), axis=0) / 126.0,
@@ -712,14 +755,23 @@ def track_chunk_packed_decim(conf: TrackingConf, n_epochs: int, decim: int,
     f32 = jnp.stack([outs[k][rows] for k in _DECIM_F32])  # [4, Td, C]
     sc = (outs["pos_start"][rows]
           + outs["n_samples"][rows]).astype(jnp.int32)    # [Td, C]
+    # pack the int8 symbol plane into the same int32 buffer (4 symbols
+    # per word): ONE pull per chunk — per-transfer latency is the
+    # steady-state cost on a remote TPU attachment
+    flat = sym.ravel()
+    pad = (-flat.shape[0]) % 4
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int8)])
+    sym_i32 = jax.lax.bitcast_convert_type(flat.reshape(-1, 4), jnp.int32)
     buf = jnp.concatenate([
+        sym_i32,
         jax.lax.bitcast_convert_type(f32, jnp.int32).ravel(),
         sc.ravel(),
         new_state.pos.astype(jnp.int32),
         new_state.active.astype(jnp.int32),
         new_state.lock_lost.astype(jnp.int32),
         jax.lax.bitcast_convert_type(scale, jnp.int32)])
-    return new_state, sym, buf
+    return new_state, buf
 
 
 class TrackingEngine:
@@ -731,20 +783,30 @@ class TrackingEngine:
     Tracking_sample_counter of gnss_synchro.h).
     """
 
-    def __init__(self, conf: TrackingConf, prns, code_provider=None):
+    def __init__(self, conf: TrackingConf, prns, code_provider=None,
+                 data_code_provider=None):
         """code_provider(prn) -> +-1 sub-chip table of length
         conf.code_length_chips (defaults to GPS L1 C/A).  For BOC signals
         pass the sub-chip-expanded table (signals.subchip_table) with conf
-        rates in sub-chip units."""
+        rates in sub-chip units.  With conf.track_pilot,
+        data_code_provider supplies the DATA component's table for the
+        separate data-prompt correlator."""
         self.conf = conf
         self.prns = [int(p) for p in prns]
         self.n_channels = len(self.prns)
         self.code_provider = code_provider or prn_codes.gps_l1_ca_code
+        self.data_code_provider = data_code_provider
         # prn <= 0 = unassigned channel (zero code row until reassignment)
         self.codes = jnp.asarray(np.stack([
             np.asarray(self.code_provider(p), np.float32) if p > 0
             else np.zeros(conf.code_length_chips, np.float32)
             for p in self.prns]))
+        self.data_codes = None
+        if conf.track_pilot and data_code_provider is not None:
+            self.data_codes = jnp.asarray(np.stack([
+                np.asarray(data_code_provider(p), np.float32) if p > 0
+                else np.zeros(conf.code_length_chips, np.float32)
+                for p in self.prns]))
         d = conf.early_late_space_chips
         dv = conf.very_early_late_space_chips
         if dv > 0.0:   # 5-tap VEML (reference very-early spacing, e.g. E1)
@@ -772,6 +834,10 @@ class TrackingEngine:
         self.codes = self.codes.at[ch].set(
             jnp.asarray(np.asarray(self.code_provider(int(prn)),
                                    np.float32)))
+        if self.data_codes is not None:
+            self.data_codes = self.data_codes.at[ch].set(
+                jnp.asarray(np.asarray(self.data_code_provider(int(prn)),
+                                       np.float32)))
 
     def stop_channel(self, ch: int) -> None:
         self.state = self.state._replace(
@@ -785,7 +851,8 @@ class TrackingEngine:
         (acq samplestamp + delay), Doppler seeds the PLL integrator
         (reference start_tracking(), dll_pll_veml_tracking.cc:643-884)."""
         code_freq0 = (self.conf.code_rate_cps
-                      * (1.0 + doppler_hz / self.conf.carrier_freq_hz))
+                      * (1.0 + (doppler_hz - self.conf.doppler_bias_hz)
+                         / self.conf.carrier_freq_hz))
         self.state = _arm_channel(self.state, ch, float(doppler_hz),
                                   float(code_freq0))
         self.abs_start[ch] = int(abs_code_start_sample)
@@ -852,26 +919,34 @@ class TrackingEngine:
             self.conf.nominal_epoch_samples + 2) + self.conf.block_size
         if len(x) < need:
             raise ValueError(f"need >= {need} samples, got {len(x)}")
+        # window the capture down to what this chunk reads (see
+        # _window_slice): inactive channels are parked on their own
+        # positions, so rebase ALL rel onto the window start and mask
+        # inactive ones to 0 (their rows are discarded anyway)
+        rmin = int(rel[active].min())
+        span = need - rmin + 128
+        win_len = max(1 << (span - 1).bit_length(), 1 << 18)
+        if len(x) > 2 * win_len:
+            start0 = max(0, min(rmin - 64, len(x) - win_len))
+            x = x[start0:start0 + win_len] if isinstance(x, np.ndarray) \
+                else _window_slice(x, jnp.int32(start0), win_len)
+            x_abs_start = x_abs_start + start0
+            rel = np.where(active, rel - start0, 0)
         state = self.state._replace(pos=jnp.asarray(rel, jnp.int32))
         x_dev = xfer.device_put_complex(x)
         if decim is not None and decim > 1 and not self.full_outputs:
-            new_state, sym, buf = track_chunk_packed_decim(
+            new_state, buf = track_chunk_packed_decim(
                 self.conf, int(n_epochs), int(decim), self.codes,
-                self.taps, x_dev, state)
-            try:
-                sym.copy_to_host_async()
-                buf.copy_to_host_async()
-            except Exception:
-                pass
-            return ("decim", new_state, sym, buf, int(x_abs_start),
+                self.taps, x_dev, state, data_codes=self.data_codes)
+            # NOTE: no copy_to_host_async here — on the remote-TPU
+            # transport the "async" copy path runs ~300x slower than a
+            # plain blocking pull and np.asarray then waits on it
+            return ("decim", new_state, buf, int(x_abs_start),
                     int(n_epochs), int(decim))
         new_state, buf = track_chunk_packed(
             self.conf, int(n_epochs), self.codes, self.taps, x_dev, state,
-            full_outputs=self.full_outputs)
-        try:
-            buf.copy_to_host_async()
-        except Exception:   # transport without async copy: asarray blocks
-            pass
+            full_outputs=self.full_outputs, data_codes=self.data_codes)
+        # no copy_to_host_async — see the decim branch note
         return (new_state, buf, int(x_abs_start), int(n_epochs))
 
     def process_end(self, handle):
@@ -906,14 +981,16 @@ class TrackingEngine:
         return outs
 
     def _process_end_decim(self, handle):
-        """Materialize a decimated handle (track_chunk_packed_decim): two
-        pulls whose transfers were already started together."""
-        _, new_state, sym, buf, x_abs_start, n_epochs, decim = handle
+        """Materialize a decimated handle (track_chunk_packed_decim): ONE
+        pull, then host-side unpacking."""
+        _, new_state, buf, x_abs_start, n_epochs, decim = handle
         t, c = int(n_epochs), self.n_channels
         rows = np.arange(decim - 1, t, decim)
         td = len(rows)
-        sym = np.asarray(sym)                              # [T, C] int8
         raw = np.asarray(buf)                              # flat int32
+        n_sym_words = (t * c + 3) // 4
+        sym = raw[:n_sym_words].view(np.int8)[: t * c].reshape(t, c)
+        raw = raw[n_sym_words:]
         nf = len(_DECIM_F32)
         fbuf = raw[: nf * td * c].view(np.float32).reshape(nf, td, c)
         ibuf = raw[nf * td * c:]

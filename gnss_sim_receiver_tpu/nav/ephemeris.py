@@ -196,6 +196,65 @@ def words_to_galileo_ephemeris(prn: int, words: dict[int, dict]
     )
 
 
+def almanac_to_ephemeris(prn: int, fields: dict, week: int = 0
+                         ) -> GpsEphemeris:
+    """Reduced-precision GpsEphemeris from LNAV subframe 4/5 almanac
+    fields (IS-GPS-200 20.3.3.5.2.1: i = 0.3 semicircles + delta_i, no
+    harmonic corrections) — good to ~1-2 km, which is what visible-
+    satellite prediction and acquisition assistance need
+    (control_thread.cc get_visible_sats role)."""
+    return GpsEphemeris(
+        prn=int(prn), week=week,
+        toc=float(fields.get("toa", 0.0)), toe=float(fields.get("toa",
+                                                                0.0)),
+        af0=float(fields.get("af0", 0.0)), af1=float(fields.get("af1",
+                                                                0.0)),
+        af2=0.0, iodc=0, iode=0,
+        sqrt_a=float(fields.get("sqrt_a", 0.0)),
+        ecc=float(fields.get("ecc", 0.0)),
+        m0_sc=float(fields.get("m0", 0.0)),
+        delta_n_sc=0.0,
+        omega_sc=float(fields.get("omega", 0.0)),
+        omega0_sc=float(fields.get("omega0", 0.0)),
+        omega_dot_sc=float(fields.get("omega_dot", 0.0)),
+        i0_sc=0.3 + float(fields.get("delta_i", 0.0)),
+        idot_sc=0.0,
+        cuc=0.0, cus=0.0, crc=0.0, crs=0.0, cic=0.0, cis=0.0)
+
+
+def save_assistance(path, ephemerides: dict, almanac: dict | None = None,
+                    iono_utc: dict | None = None) -> None:
+    """Persist the full assistance set (ephemerides + almanac + iono/UTC)
+    — the role of the reference's XML assistance dumps
+    (control_thread.cc:500-560: gps_ephemeris.xml + gps_almanac.xml +
+    gps_iono.xml + gps_utc_model.xml), as one JSON file."""
+    import json
+    out = {"ephemerides": {str(k): dataclasses.asdict(e)
+                           for k, e in ephemerides.items()
+                           if isinstance(e, GpsEphemeris)},
+           "almanac": {str(p): f for p, f in (almanac or {}).items()},
+           "iono_utc": iono_utc}
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+
+
+def load_assistance(path):
+    """(ephemerides, almanac, iono_utc) from save_assistance output."""
+    import json
+    with open(path) as fh:
+        raw = json.load(fh)
+    def _key(k):
+        try:
+            return int(k)
+        except ValueError:
+            sysname, prn = k.strip("() ").replace("'", "").split(",")
+            return (sysname.strip(), int(prn))
+    ephs = {_key(k): GpsEphemeris(**f)
+            for k, f in raw.get("ephemerides", {}).items()}
+    alm = {int(p): f for p, f in raw.get("almanac", {}).items()}
+    return ephs, alm, raw.get("iono_utc")
+
+
 def save_ephemerides(path, ephemerides: dict) -> None:
     """Persist decoded ephemerides for warm/hot start — the role of the
     reference's boost-serialization XML dumps (control_thread.cc:500-560,

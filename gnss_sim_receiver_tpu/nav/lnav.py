@@ -121,6 +121,84 @@ _SF3_FIELDS = {
 }
 _FIELDS_BY_SF = {1: _SF1_FIELDS, 2: _SF2_FIELDS, 3: _SF3_FIELDS}
 
+# Subframe 4/5 page layouts (IS-GPS-200 20.3.3.5.1.2): pages carry a
+# 2-bit data ID + 6-bit SV ID in word 3; SV ID 1-32 = almanac for that
+# PRN, SV ID 56 (SF4 page 18) = iono/UTC parameters.
+_SF_ALM_FIELDS = {
+    "data_id":   ([(3, 1, 2)], 0, False),
+    "sv_id":     ([(3, 3, 6)], 0, False),
+    "ecc":       ([(3, 9, 16)], -21, False),
+    "toa":       ([(4, 1, 8)], 12, False),
+    "delta_i":   ([(4, 9, 16)], -19, True),    # semicircles, rel. to 0.3
+    "omega_dot": ([(5, 1, 16)], -38, True),    # semicircles/s
+    "health":    ([(5, 17, 8)], 0, False),
+    "sqrt_a":    ([(6, 1, 24)], -11, False),
+    "omega0":    ([(7, 1, 24)], -23, True),
+    "omega":     ([(8, 1, 24)], -23, True),
+    "m0":        ([(9, 1, 24)], -23, True),
+    "af0":       ([(10, 1, 8), (10, 20, 3)], -20, True),
+    "af1":       ([(10, 9, 11)], -38, True),
+}
+_SF_IONO_FIELDS = {
+    "data_id":     ([(3, 1, 2)], 0, False),
+    "sv_id":       ([(3, 3, 6)], 0, False),
+    "alpha0":      ([(3, 9, 8)], -30, True),
+    "alpha1":      ([(3, 17, 8)], -27, True),
+    "alpha2":      ([(4, 1, 8)], -24, True),
+    "alpha3":      ([(4, 9, 8)], -24, True),
+    "beta0":       ([(4, 17, 8)], 11, True),
+    "beta1":       ([(5, 1, 8)], 14, True),
+    "beta2":       ([(5, 9, 8)], 16, True),
+    "beta3":       ([(5, 17, 8)], 16, True),
+    "a1":          ([(6, 1, 24)], -50, True),
+    "a0":          ([(7, 1, 24), (8, 1, 8)], -30, True),
+    "tot":         ([(8, 9, 8)], 12, False),
+    "wn_t":        ([(8, 17, 8)], 0, False),
+    "delta_t_ls":  ([(9, 1, 8)], 0, True),
+    "wn_lsf":      ([(9, 9, 8)], 0, False),
+    "dn":          ([(9, 17, 8)], 0, False),
+    "delta_t_lsf": ([(10, 1, 8)], 0, True),
+}
+IONO_SV_ID = 56            # SF4 page 18
+
+
+def pack_page45(sf_id: int, tow_next_s: float, sv_id: int,
+                physical: dict[str, float]) -> np.ndarray:
+    """Subframe 4/5 page source bits: almanac page (sv_id 1-32) or the
+    iono/UTC page (sv_id 56)."""
+    words = np.zeros((WORDS_PER_SUBFRAME, 24), dtype=np.int64)
+    words[0, :8] = PREAMBLE_BITS
+    tow_count = int(round(tow_next_s / 6.0)) % (1 << 17)
+    for i in range(17):
+        words[1, i] = (tow_count >> (16 - i)) & 1
+    words[1, 19:22] = (1, 0, 0) if sf_id == 4 else (1, 0, 1)
+    fields = _SF_IONO_FIELDS if sv_id == IONO_SV_ID else _SF_ALM_FIELDS
+    physical = dict(physical, data_id=1, sv_id=sv_id)
+    for name, (segments, scale_exp, signed) in fields.items():
+        total = sum(n for _, _, n in segments)
+        raw = int(round(physical.get(name, 0.0) / (2.0 ** scale_exp)))
+        if signed:
+            lim = 1 << (total - 1)
+            raw = max(-lim, min(lim - 1, raw))
+        else:
+            raw = max(0, min((1 << total) - 1, raw))
+        _insert_raw(words, segments, raw)
+    return words
+
+
+def unpack_page45(words: np.ndarray) -> tuple[int, dict[str, float]]:
+    """(sv_id, fields) for a subframe 4/5 page's source bits."""
+    sv_id = _extract_raw(words, [(3, 3, 6)])
+    fields = _SF_IONO_FIELDS if sv_id == IONO_SV_ID else _SF_ALM_FIELDS
+    out = {}
+    for name, (segments, scale_exp, signed) in fields.items():
+        total = sum(n for _, _, n in segments)
+        raw = _extract_raw(words, segments)
+        if signed:
+            raw = _to_signed(raw, total)
+        out[name] = raw * (2.0 ** scale_exp)
+    return int(sv_id), out
+
 
 def _insert_raw(words: np.ndarray, segments, raw: int) -> None:
     total = sum(n for _, _, n in segments)
@@ -213,20 +291,35 @@ def encode_subframe_stream(subframes: list[np.ndarray]) -> np.ndarray:
 
 def frames_for_ephemeris(eph, tow_first_subframe_s: float,
                          n_frames: int = 5,
-                         subframe_cycle=(1, 2, 3, 4, 5)) -> np.ndarray:
+                         subframe_cycle=(1, 2, 3, 4, 5),
+                         almanac: list | None = None,
+                         iono_utc: dict | None = None) -> np.ndarray:
     """LNAV bit stream carrying `eph` (a GpsEphemeris), starting with
     subframe 1 whose first bit is transmitted at tow_first_subframe_s.
-    Cycles `subframe_cycle` (default the real 1..5; 4/5 are parity-valid
-    filler; fixtures may use (1,2,3) to shorten time-to-ephemeris)."""
+    Cycles `subframe_cycle` (default the real 1..5; fixtures may use
+    (1,2,3) to shorten time-to-ephemeris).
+
+    Subframes 4/5 rotate real pages when assistance data is given:
+    `almanac` is a list of (sv_id, fields) pages (IS-GPS-200
+    20.3.3.5.1.2) and `iono_utc` the SF4-page-18 field dict; without
+    them they are parity-valid filler."""
     from gnss_sim_receiver_tpu.nav.ephemeris import ephemeris_to_fields
     f1, f2, f3 = ephemeris_to_fields(eph)
+    pages = list(almanac or [])
+    if iono_utc is not None:
+        pages.insert(0, (IONO_SV_ID, iono_utc))
     subframes = []
     tow = tow_first_subframe_s
+    page_i = 0
     for _ in range(n_frames):
         for sf_id in subframe_cycle:
             tow += SUBFRAME_SECONDS
             if sf_id <= 3:
                 words = pack_subframe(sf_id, tow, (f1, f2, f3)[sf_id - 1])
+            elif pages:
+                sv_id, fields = pages[page_i % len(pages)]
+                page_i += 1
+                words = pack_page45(sf_id, tow, sv_id, fields)
             else:
                 words = pack_subframe(3, tow, {})  # filler with valid parity
                 words[1, 19:22] = (1, 0, 0) if sf_id == 4 else (1, 0, 1)
@@ -308,8 +401,12 @@ class LnavFrameDecoder:
                         break
                 if ok:
                     tow_next, sf_id = decode_how(src[1])
-                    fields = (unpack_subframe(sf_id, src)
-                              if sf_id in (1, 2, 3) else {})
+                    if sf_id in (1, 2, 3):
+                        fields = unpack_subframe(sf_id, src)
+                    elif sf_id in (4, 5):
+                        sv_id, fields = unpack_page45(src)
+                    else:
+                        fields = {}
                     self._next_search = i + BITS_PER_SUBFRAME
                     return SubframeEvent(sf_id=sf_id, tow_next_s=tow_next,
                                          fields=fields, bit_index=i,

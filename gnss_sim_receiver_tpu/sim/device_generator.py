@@ -102,16 +102,22 @@ def _anchors(sats, fs, start_sample, nblk, amp_fs):
     t_b = s_b / fs
     for i, sat in enumerate(sats):
         _, code_rate, _ = sg._sig_params(sat)
-        icd_chip_rate = (code_rate / 2.0 if sat.signal == "1B"
+        icd_chip_rate = (code_rate / 2.0 if sat.signal in ("1B", "1P")
                          else code_rate)
         delay0 = sat.delay_sec + sat.delay_chips / icd_chip_rate
-        delay_b = delay0 - (sat.doppler_hz / f_c) * t_b \
-            - (sat.doppler_rate_hz_s / f_c) * t_b * t_b / 2.0
+        dop_code0 = (sat.code_doppler_hz
+                     if getattr(sat, "code_doppler_hz", None) is not None
+                     else sat.doppler_hz)
+        f_code = getattr(sat, "carrier_ref_hz", None) or f_c
+        delay_b = delay0 - (dop_code0 / f_code) * t_b \
+            - (sat.doppler_rate_hz_s / f_code) * t_b * t_b / 2.0
         chipf_b = (t_b - delay_b) * code_rate
         dop_b = sat.doppler_hz + sat.doppler_rate_hz_s * t_b
+        dopc_b = dop_code0 + sat.doppler_rate_hz_s * t_b
         base[i] = np.floor(chipf_b).astype(np.int64)
         frac[i] = (chipf_b - np.floor(chipf_b)).astype(np.float32)
-        crate[i] = (code_rate * (1.0 + dop_b / f_c) / fs).astype(np.float32)
+        crate[i] = (code_rate * (1.0 + dopc_b / f_code)
+                    / fs).astype(np.float32)
         ph0[i] = np.mod(2.0 * np.pi * (sat.doppler_hz * t_b
                                        + sat.doppler_rate_hz_s
                                        * t_b * t_b / 2.0)

@@ -44,6 +44,13 @@ class SatelliteSignalParams:
     nav_bits: np.ndarray | None = None   # +-1 at 50 bps; None -> random
     system: str = "GPS"
     signal: str = "1C"
+    # FDMA / off-L1 signals: the PHYSICAL Doppler driving the code rate
+    # and delay dynamics, and its reference carrier.  None -> legacy
+    # behavior (doppler_hz over the L1 carrier).  GLONASS sets
+    # code_doppler_hz to the true Doppler (doppler_hz carries the slot
+    # offset too) and carrier_ref_hz to the slot carrier.
+    code_doppler_hz: float | None = None
+    carrier_ref_hz: float | None = None
 
 
 def cn0_to_amplitude(cn0_db_hz: float, fs: float) -> float:
@@ -65,6 +72,13 @@ def _sig_params(sat: SatelliteSignalParams):
         sub = sigdefs.subchip_table(sigdefs.GALILEO_E1B, sat.prn
                                     ).astype(np.int8)
         # E1B: 250 sps, one 4092-chip code period per symbol (BOC sub-chips)
+        return sub, sigdefs.GALILEO_E1B.sc_rate, len(sub)
+    if sat.signal == "1P":
+        from gnss_sim_receiver_tpu import signals as sigdefs
+        # E1-C pilot: BOC(1,1) E1C primary; nav_bits carry the CS25
+        # secondary signs (one chip per 4 ms code period)
+        sub = sigdefs.boc11_expand(
+            sigdefs.galileo_e1_code(sat.prn, "C")).astype(np.int8)
         return sub, sigdefs.GALILEO_E1B.sc_rate, len(sub)
     if sat.signal == "2S":
         from gnss_sim_receiver_tpu.ops import prn_codes_multi as pcm
@@ -89,10 +103,11 @@ def _sig_params(sat: SatelliteSignalParams):
         # secondary pre-spread, nav.inav.e5b_epoch_signs)
         return (sigdefs.galileo_e5b_code(sat.prn, "I").astype(np.int8),
                 constants.GALILEO_E5B_CODE_RATE_CPS, 10230)
-    if sat.signal == "1G":
+    if sat.signal in ("1G", "2G"):
         from gnss_sim_receiver_tpu.ops import prn_codes_multi as pcm
-        # GLONASS FDMA: the slot offset k*562.5 kHz rides in doppler_hz;
-        # nav_bits are 100-sps GNAV symbols (10 code periods each)
+        # GLONASS FDMA: the slot offset (562.5 kHz L1 / 437.5 kHz L2 per
+        # slot) rides in doppler_hz; nav_bits are 100-sps GNAV symbols
+        # (10 code periods each); L2 C/A is the same code
         return (pcm.glonass_l1_ca_code().astype(np.int8),
                 constants.GLONASS_CA_CODE_RATE_CPS, 5110)
     if sat.signal == "B1":
@@ -160,14 +175,19 @@ def _sat_signal_block(sat: SatelliteSignalParams, fs: float,
     s_b = start_sample + b * np.arange(nblk, dtype=np.float64)
     t_b = s_b / fs
     # delay_chips is in ICD chips; code_rate here is the SUB-chip rate
-    icd_chip_rate = (code_rate / 2.0 if sat.signal == "1B" else code_rate)
+    icd_chip_rate = (code_rate / 2.0 if sat.signal in ("1B", "1P")
+                     else code_rate)
     delay0 = sat.delay_sec + sat.delay_chips / icd_chip_rate
-    delay_b = delay0 - (sat.doppler_hz / f_c) * t_b \
-        - (sat.doppler_rate_hz_s / f_c) * t_b * t_b / 2.0
+    dop_code0 = (sat.code_doppler_hz if sat.code_doppler_hz is not None
+                 else sat.doppler_hz)
+    f_code = sat.carrier_ref_hz or f_c
+    delay_b = delay0 - (dop_code0 / f_code) * t_b \
+        - (sat.doppler_rate_hz_s / f_code) * t_b * t_b / 2.0
     tau_b = t_b - delay_b
     chipf_b = tau_b * code_rate
     dop_b = sat.doppler_hz + sat.doppler_rate_hz_s * t_b
-    chip_rate_b = code_rate * (1.0 + dop_b / f_c) / fs     # chips/sample
+    dopc_b = dop_code0 + sat.doppler_rate_hz_s * t_b
+    chip_rate_b = code_rate * (1.0 + dopc_b / f_code) / fs  # chips/sample
     phase_b = np.mod(2.0 * np.pi * (sat.doppler_hz * t_b
                                     + sat.doppler_rate_hz_s * t_b * t_b / 2.0)
                      + sat.carrier_phase_rad, 2.0 * np.pi)

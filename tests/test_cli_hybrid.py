@@ -73,8 +73,8 @@ def test_cli_hybrid_run_writes_multignss_rinex(tmp_path, capsys,
     assert any(s == "Galileo" and p in GAL_PRNS for s, p in pairs), pairs
     header = obs_path.read_text().split("END OF HEADER")[0]
     assert "M: MIXED" in header
-    assert "G   4 C1C L1C D1C S1C" in header
-    assert "E   4 C1B L1B D1B S1B" in header
+    assert "C1C L1C D1C S1C" in header
+    assert "C1B L1B D1B S1B" in header
 
     # nav: G and E records present
     nav = nav_path.read_text()
