@@ -539,6 +539,9 @@ class _ChainRt:
         self.total = 0
         self.decim = 1                # set by the receiver (tick stride)
         self.sbas_consumed = 0        # messages already fed to corrections
+        # per-channel epochs since start_tracking (block-kernel gate:
+        # pull-in must finish on the per-epoch kernel)
+        self.epochs_run = np.zeros(n, np.int64)
 
     def eph_key(self, prn: int):
         return prn if self.spec.system == "GPS" else (self.spec.system, prn)
@@ -1100,6 +1103,7 @@ class ReceiverSession:
                             rt.tlm.reset_channel(
                                 c, prn, epoch_base=rt.epoch_base[c])
                             self.obs_eng.reset_channel(rt.offset + c)
+                            rt.epochs_run[c] = 0
                             g = rt.offset + c
                             self._trk_start_abs[g] = (
                                 acq_base + res.samplestamp)
@@ -1119,10 +1123,15 @@ class ReceiverSession:
             if 0 < n < chunk_n:
                 if not final:
                     continue   # wait for more data before eating the tail
-                # quantize tail chunks to powers of two: a bounded set of
-                # jitted shapes (each n_epochs is a static arg), so
-                # arbitrary tails never trigger fresh XLA compiles
-                n = 1 << (n.bit_length() - 1)
+                # quantize tail chunks to a bounded set of jitted shapes
+                # (each n_epochs is a static arg): block_epochs * 2^k so
+                # tails stay on the fast block kernel, pow2 for the last
+                # few epochs
+                q = rt.trk.block_epochs
+                if n >= 2 * q:
+                    n = q << ((n // q).bit_length() - 1)
+                else:
+                    n = 1 << (n.bit_length() - 1)
             if n <= 0:
                 if final:
                     rt.done = rt.total   # stream exhausted for this chain
@@ -1132,9 +1141,16 @@ class ReceiverSession:
             progressed = True
             advanced = True
             win, win_base = self._window()
+            # block kernel once every tracking channel is through pull-in
+            # (pilot/secondary chains need sync margin on top)
+            need = rt.spec.trk.fll_pullin_epochs + 1000
+            if len(rt.spec.trk.secondary_code) > 0:
+                need += 2000
+            use_blocks = all(rt.epochs_run[c] >= need for c in tracking)
             staged.append((rt, tracking, n,
                            rt.trk.process_begin(win, win_base, n,
-                                                decim=rt.decim)))
+                                                decim=rt.decim,
+                                                use_blocks=use_blocks)))
 
         # ---- phase 2: pull + host-process every chain's chunk --------------
         _t1 = _time.perf_counter()
@@ -1147,8 +1163,18 @@ class ReceiverSession:
                       flush=True)
             for c in range(spec.n_channels):
                 rt.epoch_base[c] += n
+            if tracking:
+                rt.epochs_run[list(tracking)] += n
             if self.collected is not None:
                 self.collected.append((spec.signal, outs))
+            # a channel feeds OBSERVABLES only once its tracking loops
+            # have settled after (re)acquisition — freshly handed-off
+            # channels carry meter-level code transients that would
+            # poison PVT/RTK (the reference gates on lock quality the
+            # same way); telemetry still sees every epoch
+            settle = rt.spec.trk.fll_pullin_epochs + 2500
+            not_ready = [c for c in tracking
+                         if rt.epochs_run[c] - n < settle]
             rows = outs.get("rows")
             if rows is not None and len(rows) == 0:
                 # tail chunk shorter than one tick stride: feed the
@@ -1178,6 +1204,14 @@ class ReceiverSession:
             else:
                 tlm_res = rt.tlm.process(outs)
                 tlm_obs = tlm_res
+            if not_ready:
+                # gate a COPY for the observables push only — the cursor /
+                # tick-bound / Doppler-map logic below must keep seeing
+                # the device's real validity or acquisition stalls on a
+                # frozen cursor
+                ov = outs["valid"].copy()
+                ov[:, not_ready] = False
+                outs = dict(outs, valid=ov, valid_ungated=outs["valid"])
             for c, eph in tlm_res.new_ephemerides:
                 self.ephemerides[rt.eph_key(eph.prn)] = eph
             if (self.tow_map is not None and rt.spec.system == "Galileo"
@@ -1209,7 +1243,7 @@ class ReceiverSession:
             # publish per-satellite Doppler for cross-band assisted
             # acquisition (project_doppler source side)
             dop_last = outs["carrier_doppler_hz"][-1]
-            valid_last = outs["valid"][-1]
+            valid_last = outs.get("valid_ungated", outs["valid"])[-1]
             for c in tracking:
                 if valid_last[c]:
                     self.doppler_map[(spec.system, rt.mgr.channels[c].prn)] \
@@ -1248,7 +1282,8 @@ class ReceiverSession:
                         rt.mgr.on_tracking_lost(c)
                         rt.trk.stop_channel(c)
 
-            valid_cols = np.asarray(outs["valid"][-1])
+            valid_cols = np.asarray(
+                outs.get("valid_ungated", outs["valid"])[-1])
             if valid_cols.any():
                 up_to = int(outs["sample_counter"][-1][valid_cols].min())
                 tick_bounds.append(up_to)

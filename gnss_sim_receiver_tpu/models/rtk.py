@@ -527,10 +527,24 @@ class RtkEngine:
         R[:n_dd, :n_dd] = dd_cov(conf.carrier_sigma_m)
         R[n_dd:, n_dd:] = dd_cov(conf.code_sigma_m)
 
+        # innovation gating: reject CODE rows whose residual exceeds 6
+        # sigma of the predicted innovation (settling channels, cycle
+        # slips — the rtklib valpos residual test role)
+        resid = z - pred
+        s_diag = np.einsum("ij,jk,ik->i", H, self.P, H) + np.diag(R)
+        keep = np.ones(2 * n_dd, bool)
+        keep[n_dd:] = (np.abs(resid[n_dd:])
+                       <= 6.0 * np.sqrt(np.maximum(s_diag[n_dd:], 1e-12)))
+        if keep.sum() < n_dd + 1:
+            keep[:] = True     # too few left: fall back to all rows
+        H = H[keep]
+        R = R[np.ix_(keep, keep)]
+        resid = resid[keep]
+
         # EKF update
         S = H @ self.P @ H.T + R
         K = np.linalg.solve(S, H @ self.P).T
-        self.x = self.x + K @ (z - pred)
+        self.x = self.x + K @ resid
         self.P = (np.eye(n_x) - K @ H) @ self.P
         self.P = 0.5 * (self.P + self.P.T)
 

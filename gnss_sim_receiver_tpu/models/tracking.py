@@ -825,6 +825,10 @@ class TrackingEngine:
         # per-chunk transfer — the FSM never pulls device scalars
         self.active_host = np.zeros(self.n_channels, bool)
         self.lock_lost_host = np.zeros(self.n_channels, bool)
+        # block-kernel tables (models.tracking_block), built lazily
+        self._codes_fft = None
+        self._data_codes_fft = None
+        self._sec_code_dev = None
 
     def set_channel_prn(self, ch: int, prn: int) -> None:
         """Re-point a channel at a different satellite (channel/satellite
@@ -838,6 +842,8 @@ class TrackingEngine:
             self.data_codes = self.data_codes.at[ch].set(
                 jnp.asarray(np.asarray(self.data_code_provider(int(prn)),
                                        np.float32)))
+        self._codes_fft = None          # block tables now stale
+        self._data_codes_fft = None
 
     def stop_channel(self, ch: int) -> None:
         self.state = self.state._replace(
@@ -887,8 +893,45 @@ class TrackingEngine:
         return self.process_end(self.process_begin(x, x_abs_start,
                                                    n_epochs))
 
+    def _ensure_block_tables(self):
+        from gnss_sim_receiver_tpu.models import tracking_block as tb
+        if self._codes_fft is not None:
+            return
+        n = self.conf.nominal_epoch_samples
+        def spectra(provider):
+            sampled = np.stack([
+                prn_codes.sample_code(
+                    np.asarray(provider(p), np.float32), self.conf.fs,
+                    self.conf.code_rate_cps, n) if p > 0
+                else np.zeros(n, np.float32)
+                for p in self.prns])
+            return tb.code_spectra(self.conf, jnp.asarray(sampled))
+        self._codes_fft = spectra(self.code_provider)
+        if self.conf.track_pilot and self.data_code_provider is not None:
+            self._data_codes_fft = spectra(self.data_code_provider)
+        if len(self.conf.secondary_code) > 0:
+            sec = np.asarray(self.conf.secondary_code, np.float32)
+            if set(np.unique(sec)) <= {0.0, 1.0}:
+                sec = 2.0 * sec - 1.0
+            self._sec_code_dev = jnp.asarray(sec)
+
+    @property
+    def block_epochs(self) -> int:
+        """Epochs per block for the block kernel: ~20 ms of signal (the
+        reference's extended-integration cadence)."""
+        return max(2, int(round(0.02 / self.conf.t_epoch_nominal_s)))
+
+    def block_mode_ok(self, n_epochs: int) -> bool:
+        """Whether this chunk can run on the block kernel."""
+        return (self.conf.tracking_mode == "dll_pll"
+                and self.conf.extend_correlation_symbols == 1
+                and not self.full_outputs
+                and n_epochs % self.block_epochs == 0
+                and n_epochs >= 2 * self.block_epochs)
+
     def process_begin(self, x: np.ndarray, x_abs_start: int,
-                      n_epochs: int, decim: int | None = None):
+                      n_epochs: int, decim: int | None = None,
+                      use_blocks: bool = False):
         """Dispatch the chunk's device scan and START its async
         device->host copy; returns an opaque handle for process_end.
         Several engines' chunks can be in flight at once (their copies
@@ -934,6 +977,18 @@ class TrackingEngine:
             rel = np.where(active, rel - start0, 0)
         state = self.state._replace(pos=jnp.asarray(rel, jnp.int32))
         x_dev = xfer.device_put_complex(x)
+        if (use_blocks and decim is not None and decim > 1
+                and self.block_mode_ok(n_epochs)):
+            from gnss_sim_receiver_tpu.models import tracking_block as tb
+            self._ensure_block_tables()
+            e_blk = self.block_epochs
+            new_state, buf = tb.track_chunk_blocks_packed_decim(
+                self.conf, n_epochs // e_blk, e_blk, int(decim),
+                self._codes_fft, self.taps, x_dev, state,
+                sec_code=self._sec_code_dev,
+                data_codes_fft=self._data_codes_fft)
+            return ("decim", new_state, buf, int(x_abs_start),
+                    int(n_epochs), int(decim))
         if decim is not None and decim > 1 and not self.full_outputs:
             new_state, buf = track_chunk_packed_decim(
                 self.conf, int(n_epochs), int(decim), self.codes,

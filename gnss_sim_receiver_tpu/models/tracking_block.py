@@ -1,0 +1,418 @@
+"""Block-processing tracking kernel: the TPU speed-of-light path.
+
+The per-epoch scan (models.tracking) runs one `lax.scan` step per code
+epoch; on TPU every step costs ~0.4 ms of small-op latency (dominated by
+the per-sample code-table gather), capping the receiver near 2x realtime
+regardless of batching.  This kernel restructures steady-state tracking
+the TPU-first way:
+
+- ONE scan step per BLOCK of `e_block` epochs (default 20 = one GPS bit;
+  the loops close at block cadence with the narrow bandwidths — exactly
+  the reference's extended-coherent-integration regime, states 3-4 of
+  dll_pll_veml_tracking.cc:1933-2027);
+- correlation via FFT + phasor lags instead of per-sample code gathers:
+  the whole block is carrier-wiped, segmented into overlapping windows
+  by STATIC slices, FFT'd in one batch, multiplied by each channel's
+  precomputed nominal-rate code spectrum, and the E/P/L taps drop out of
+  one einsum against per-epoch phase ramps (fractional lags exact in the
+  DTFT sense).  No gathers anywhere in the hot path; the FLOPs land on
+  the MXU/VPU wide and batched;
+- epoch boundaries in closed form: with the code NCO rate constant
+  within a block, the cumulative sample count of epoch e is EXACTLY
+  round(e*S - u0) (S = code period in samples, u0 = phase offset), so
+  per-epoch starts/lengths/outputs vectorize with no inner loop.
+
+Approximations (each matching the reference's own extended mode or
+corrected to first order):
+- code-Doppler stretch within one epoch is ignored by the FFT replica
+  (<= 0.004 chips at +-5 kHz); the resulting half-stretch lag bias is
+  deterministic and corrected in the phasor lag;
+- Doppler/code rates are held constant within a block (loops close per
+  block, reference narrow-mode behavior);
+- FLL pull-in and the KF tracker stay on the per-epoch kernel; the
+  receiver switches a channel set to block mode only after pull-in.
+
+State interop: consumes and produces the SAME TrackState as the
+per-epoch kernel, so chunks can alternate kernels freely.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnss_sim_receiver_tpu.models.tracking import (TrackState, TrackingConf,
+                                                   N_SEC_MAX, _DECIM_F32)
+from gnss_sim_receiver_tpu.ops import correlator, discriminators
+from gnss_sim_receiver_tpu.ops import loop_filters as lf
+
+
+def block_fft_size(conf: TrackingConf) -> int:
+    """FFT length: window must hold one code period at any lag in
+    [0, S0) -> NFFT >= 2*S0 + guard."""
+    s0 = conf.nominal_epoch_samples
+    n = 2 * s0 + 64
+    return 1 << int(np.ceil(np.log2(n)))
+
+
+def code_spectra(conf: TrackingConf, codes_sampled: jnp.ndarray) -> jnp.ndarray:
+    """conj(FFT(zero-padded nominal-rate code)) per channel [C, NFFT].
+    `codes_sampled` is the +-1 code resampled at fs over one code period
+    (prn_codes.sample_code of each channel's table)."""
+    nfft = block_fft_size(conf)
+    pad = nfft - codes_sampled.shape[-1]
+    z = jnp.pad(codes_sampled.astype(jnp.complex64), ((0, 0), (0, pad)))
+    return jnp.conj(jnp.fft.fft(z, axis=-1))
+
+
+@partial(jax.jit, static_argnames=("conf", "n_blocks", "e_block"))
+def track_chunk_blocks(conf: TrackingConf, n_blocks: int, e_block: int,
+                       codes_fft: jax.Array, taps: jax.Array,
+                       x_chunk: jax.Array, state: TrackState,
+                       sec_code: jax.Array | None = None,
+                       data_codes_fft: jax.Array | None = None):
+    """Scan n_blocks blocks of e_block epochs each.  Returns
+    (new_state, outs) with the same per-epoch [T, C] output planes as
+    track_chunk (T = n_blocks*e_block)."""
+    fs = conf.fs
+    c_ch = codes_fft.shape[0]
+    s0 = conf.nominal_epoch_samples
+    nfft = block_fft_size(conf)
+    guard = 128
+    btot = e_block * s0 + nfft + 2 * guard
+    k_taps = taps.shape[0]
+    l_chips = jnp.float32(conf.code_length_chips)
+    e_idx = jnp.arange(e_block, dtype=jnp.float32)            # [E]
+    # SIGNED frequency bins: the fractional-lag shift theorem needs
+    # f in [-N/2, N/2), not [0, N) (integer lags can't tell the
+    # difference; fractional taps/lags absolutely can)
+    f_raw = jnp.arange(nfft, dtype=jnp.float32)
+    f_bins = jnp.where(f_raw >= nfft // 2, f_raw - nfft, f_raw)   # [F]
+    two_pi = jnp.float32(2.0 * np.pi)
+    t_block_edge = jnp.arange(1, e_block + 1, dtype=jnp.float32)
+
+    prompt_i = k_taps // 2   # taps ordered [+d.. 0 ..-d]; center = prompt
+
+    def body(st: TrackState, _):
+        act = st.active
+        rate = st.code_freq                                    # [C] chips/s
+        dop = st.carrier_doppler                               # [C]
+        s_per = l_chips / rate * jnp.float32(fs)               # [C] code
+        #                                                        period in
+        #                                                        samples
+        u0 = st.rem_code_phase / rate * jnp.float32(fs)        # [C] samples
+        # closed-form epoch boundaries: cumulative samples of epoch e
+        ecs = e_idx[None, :] * s_per[:, None] - u0[:, None]    # [C, E]
+        n_cum = jnp.round(ecs)                                 # [C, E]
+        n_next = jnp.round((e_idx[None, :] + 1.0) * s_per[:, None]
+                           - u0[:, None])
+        n_len = n_next - n_cum                                 # [C, E]
+        # residual code phase at each epoch START (drives the replica lag)
+        rem_e = (n_cum - ecs) * rate[:, None] / jnp.float32(fs)
+        # ... and at each epoch END (the per-epoch kernel's OUTPUT
+        # convention: sample_counter and code_phase_samples both refer to
+        # the epoch end, so their rounding cancels in (sc - cps))
+        rem_end = (n_next - ((e_idx[None, :] + 1.0) * s_per[:, None]
+                             - u0[:, None])) * rate[:, None] / jnp.float32(fs)
+        # block totals
+        n_total = jnp.round(jnp.float32(e_block) * s_per - u0)   # [C]
+        rem_new = (n_total - (jnp.float32(e_block) * s_per - u0)) \
+            * rate / jnp.float32(fs)
+
+        # ---- gather the block once per channel -------------------------
+        seg0 = st.pos - guard
+        xb = correlator.gather_blocks(x_chunk, seg0, btot)     # [C, BTOT]
+
+        # ---- carrier wipeoff over the whole block ----------------------
+        n_axis = jax.lax.broadcasted_iota(jnp.float32, (1, btot), 1)
+        ph = (st.rem_carr_phase[:, None]
+              + two_pi * dop[:, None] * (n_axis - jnp.float32(guard))
+              / jnp.float32(fs))
+        xb = xb * jax.lax.complex(jnp.cos(ph), -jnp.sin(ph))
+
+        # ---- static segmentation + batched FFT -------------------------
+        wins = jnp.stack([
+            jax.lax.slice_in_dim(xb, e * s0, e * s0 + nfft, axis=1)
+            for e in range(e_block)], axis=1)                  # [C, E, F]
+        xf = jnp.fft.fft(wins, axis=-1)
+        y = xf * codes_fft[:, None, :]                         # [C, E, F]
+
+        # ---- phasor lags ----------------------------------------------
+        # epoch e's code period starts at sample (pos + n_cum) absolute;
+        # its lag inside window e = pos + n_cum - (seg0 + e*s0)
+        lag = (jnp.float32(guard) + n_cum - rem_e / rate[:, None]
+               * jnp.float32(fs) - e_idx[None, :] * jnp.float32(s0))
+        # deterministic half-stretch correction: the nominal-rate replica
+        # vs the Doppler-stretched signal biases the lag by half the
+        # per-epoch stretch
+        # the signal's code runs at rate*(1+dop/fc) vs the nominal-rate
+        # replica: by mid-epoch the signal phase leads by stretch/2 chips,
+        # so the replica must ADVANCE (lag decreases) to match
+        stretch = (l_chips * (dop - jnp.float32(conf.doppler_bias_hz))
+                   / jnp.float32(conf.carrier_freq_hz))        # chips
+        lag = lag - 0.5 * stretch[:, None] / rate[:, None] * jnp.float32(fs)
+        # a POSITIVE tap advances the replica (code[floor(chips + tap)]):
+        # phase-0 moves EARLIER by tap/rate*fs samples -> NEGATIVE lag
+        tap_samps = (-taps[None, :] / rate[:, None]
+                     * jnp.float32(fs))                        # [C, K]
+        # correlations at the two INTEGER lags bracketing each tap, then
+        # linear interpolation: integer-lag FFT correlations are exact,
+        # and the true correlation of rectangular chips is piecewise
+        # linear in lag — sinc (phasor-only) interpolation rings on BOC
+        # codes and biases the discriminator lock point
+        lags = lag[:, :, None] + tap_samps[:, None, :]         # [C, E, K]
+        base = jnp.floor(lags)
+        frac = (lags - base)[..., None]                        # [C,E,K,1]
+        ang0 = (two_pi * f_bins[None, None, None, :]
+                * base[..., None] / jnp.float32(nfft))
+        ang1 = (two_pi * f_bins[None, None, None, :]
+                * (base[..., None] + 1.0) / jnp.float32(nfft))
+        p = ((1.0 - frac) * jax.lax.complex(jnp.cos(ang0), jnp.sin(ang0))
+             + frac * jax.lax.complex(jnp.cos(ang1), jnp.sin(ang1)))
+        corr = jnp.einsum("cef,cekf->cek", y, p) / jnp.float32(nfft)
+
+        prompt = corr[:, :, prompt_i]                          # [C, E]
+        early = corr[:, :, prompt_i - 1]
+        late = corr[:, :, prompt_i + 1]
+
+        # optional data-component prompt (track_pilot)
+        data_prompt = None
+        if data_codes_fft is not None:
+            yd = xf * data_codes_fft[:, None, :] * p_lag
+            data_prompt = jnp.einsum(
+                "cef,cf->ce", yd,
+                p_tap[:, prompt_i, :]) / jnp.float32(nfft)
+
+        # ---- secondary-code sync + wipeoff (pilot) ---------------------
+        epoch_g = st.epoch[:, None] + jnp.arange(e_block)[None, :]
+        sec_state = dict(sec_buf=st.sec_buf, sec_synced=st.sec_synced,
+                         sec_off=st.sec_off, sec_polarity=st.sec_polarity)
+        if sec_code is not None:
+            n_sec = sec_code.shape[0]
+            sign_e = jnp.where(jnp.real(prompt) >= 0, 1.0, -1.0)  # [C, E]
+            # roll the sign history buffer by E and append the block
+            buf = jnp.concatenate(
+                [st.sec_buf[:, e_block % N_SEC_MAX:],
+                 sign_e[:, -min(e_block, N_SEC_MAX):]], axis=1
+            )[:, -N_SEC_MAX:]
+            # all-cyclic-shift hard match over the last n_sec entries
+            last = buf[:, N_SEC_MAX - n_sec:]                 # [C, n_sec]
+            # epoch index of last entry:
+            e_last = st.epoch + jnp.int32(e_block) - 1
+            shifts = jnp.arange(n_sec)
+            # chip expected at buffer slot j for offset o:
+            # sec[(e_last - (n_sec-1-j) + o) mod n_sec]
+            j_idx = jnp.arange(n_sec)
+            idx = jnp.mod(e_last[:, None, None] - (n_sec - 1 - j_idx)[None,
+                                                                      None, :]
+                          + shifts[None, :, None], n_sec)
+            expect = sec_code[idx]                            # [C, O, J]
+            m = jnp.einsum("cj,coj->co", last, expect)        # [C, O]
+            best = jnp.argmax(jnp.abs(m), axis=1)
+            best_val = jnp.take_along_axis(m, best[:, None], axis=1)[:, 0]
+            hit = jnp.abs(best_val) >= jnp.float32(n_sec)
+            newly = hit & ~st.sec_synced & act
+            sec_state = dict(
+                sec_buf=buf,
+                sec_synced=st.sec_synced | newly,
+                sec_off=jnp.where(newly, best.astype(jnp.int32),
+                                  st.sec_off),
+                sec_polarity=jnp.where(newly, jnp.sign(best_val),
+                                       st.sec_polarity))
+            # wipeoff where synced
+            chip = sec_code[jnp.mod(epoch_g + sec_state["sec_off"][:, None],
+                                    n_sec)] * \
+                sec_state["sec_polarity"][:, None]
+            wipe = jnp.where(sec_state["sec_synced"][:, None], chip, 1.0)
+            prompt = prompt * wipe
+            early = early * wipe
+            late = late * wipe
+
+        # ---- per-epoch discriminators, block-averaged closure ----------
+        carr_err = discriminators.pll_costas(prompt) / two_pi   # [C, E]
+        code_err = discriminators.dll_nc_e_minus_l_normalized(
+            jnp.abs(early), jnp.abs(late),
+            jnp.float32(conf.early_late_space_chips))
+        carr_err_m = jnp.mean(carr_err, axis=1)
+        code_err_m = jnp.mean(code_err, axis=1)
+        t_blk = n_total / jnp.float32(fs)                       # [C]
+        # two-stage DLL: the handoff inherits the per-epoch kernel's
+        # code alignment (meters of wander) — settle it fast with the
+        # WIDE bandwidth for the first ~1 s of block mode, then narrow.
+        # ext_n doubles as the blocks-in-mode counter (the per-epoch
+        # kernel zeroes it on arm).
+        blocks_in = st.ext_n
+        settle = blocks_in < jnp.int32(50)
+        dll_bw_eff = jnp.where(settle, jnp.float32(conf.dll_bw_hz),
+                               jnp.float32(conf.dll_bw_narrow_hz))
+        pll_new, pll_out = lf.third_order_step(
+            st.pll, carr_err_m, jnp.float32(conf.pll_bw_narrow_hz), t_blk)
+        dll_new, dll_out = lf.second_order_step(
+            st.dll, code_err_m, dll_bw_eff, t_blk)
+        doppler_new = pll_out
+        code_freq_new = (jnp.float32(conf.code_rate_cps)
+                         * (1.0 + (doppler_new
+                                   - jnp.float32(conf.doppler_bias_hz))
+                            / jnp.float32(conf.carrier_freq_hz))
+                         + dll_out)
+
+        # ---- lock / C/N0 over the block --------------------------------
+        # per-PROMPT sign-insensitive forms averaged over the block: a
+        # nav-bit edge inside a block must not read as loss of lock
+        # (reference carrier_lock_test averages (I^2-Q^2)/(I^2+Q^2) per
+        # prompt, cn0_and_tracking_lock_status)
+        pi_ = jnp.real(prompt)
+        pq_ = jnp.imag(prompt)
+        p2 = pi_ * pi_ + pq_ * pq_
+        carrier_lock = jnp.mean((pi_ * pi_ - pq_ * pq_)
+                                / jnp.maximum(p2, 1e-12), axis=1)
+        # rectified-I SNV C/N0 (sign-insensitive; same estimator class as
+        # the reference's SNV with |I|)
+        mean_abs_i = jnp.mean(jnp.abs(pi_), axis=1)
+        total = jnp.mean(p2, axis=1)
+        sig = mean_abs_i * mean_abs_i
+        noise = jnp.maximum(total - sig, 1e-12)
+        t_sym = t_blk / jnp.float32(e_block)
+        cn0_lin = jnp.maximum(sig / noise, 1e-6) / t_sym
+        cn0_db = 10.0 * jnp.log10(cn0_lin)
+        bad = (carrier_lock < jnp.float32(conf.carrier_lock_threshold)) \
+            | (cn0_db < jnp.float32(conf.cn0_min_db_hz))
+        fail = jnp.where(bad, st.lock_fail + jnp.float32(e_block),
+                         jnp.maximum(st.lock_fail
+                                     - jnp.float32(e_block), 0.0))
+        lost = fail > jnp.float32(conf.max_lock_fail)
+
+        # ---- bit-sync histogram (data channels) ------------------------
+        sign_e = jnp.where(pi_ >= 0, 1.0, -1.0)
+        prev = jnp.concatenate([st.prev_sign[:, None], sign_e[:, :-1]],
+                               axis=1)
+        tr = (prev != 0.0) & (sign_e != prev)                  # [C, E]
+        phase_mod = jnp.mod(epoch_g, 20)
+        hist_inc = jnp.einsum(
+            "ce,cep->cp", tr.astype(jnp.float32),
+            (phase_mod[:, :, None]
+             == jnp.arange(20)[None, None, :]).astype(jnp.float32))
+        hist = st.bit_hist + hist_inc
+        total = jnp.sum(hist, axis=1)
+        top = jnp.argmax(hist, axis=1)
+        peak = jnp.max(hist, axis=1)
+        sync_ok = (total >= jnp.float32(conf.bit_sync_min_transitions)) \
+            & (peak >= 0.8 * total)
+        newly_bit = sync_ok & ~st.bit_synced & act
+        bit_synced = st.bit_synced | newly_bit
+        bit_phase = jnp.where(newly_bit, top.astype(jnp.int32),
+                              st.bit_phase)
+
+        # ---- carrier phase bookkeeping (Kahan over blocks) -------------
+        cyc_blk = dop * t_blk
+        y_k = cyc_blk - st.acc_phase_comp
+        t_sum = st.acc_phase_cycles + y_k
+        comp = (t_sum - st.acc_phase_cycles) - y_k
+        rem_carr_new = jnp.mod(st.rem_carr_phase
+                               + two_pi * dop * t_blk, two_pi)
+        # per-epoch acc phase at epoch END (affine within the block)
+        acc_e = (st.acc_phase_cycles - st.acc_phase_comp)[:, None] \
+            + dop[:, None] * (n_next / jnp.float32(fs))        # [C, E]
+
+        # ---- outputs ([E, C] planes) -----------------------------------
+        sel = lambda new, old: jnp.where(act, new, old)
+        pos_new = jnp.where(act,
+                            st.pos + n_total.astype(jnp.int32),
+                            st.pos + jnp.int32(e_block * s0))
+        new_state = st._replace(
+            active=act & ~lost,
+            pos=pos_new,
+            rem_code_phase=sel(rem_new, st.rem_code_phase),
+            code_freq=sel(code_freq_new, st.code_freq),
+            carrier_doppler=sel(doppler_new, st.carrier_doppler),
+            rem_carr_phase=sel(rem_carr_new, st.rem_carr_phase),
+            acc_phase_cycles=sel(t_sum, st.acc_phase_cycles),
+            acc_phase_comp=sel(comp, st.acc_phase_comp),
+            dll=jax.tree.map(sel, dll_new, st.dll),
+            pll=jax.tree.map(sel, pll_new, st.pll),
+            prompt_prev=sel(prompt[:, -1], st.prompt_prev),
+            epoch=jnp.where(act, st.epoch + jnp.int32(e_block), st.epoch),
+            cn0_db_hz=sel(cn0_db, st.cn0_db_hz),
+            carrier_lock=sel(carrier_lock, st.carrier_lock),
+            lock_fail=sel(fail, st.lock_fail),
+            lock_lost=sel(lost, st.lock_lost),
+            bit_hist=jnp.where(act[:, None], hist, st.bit_hist),
+            prev_sign=sel(sign_e[:, -1], st.prev_sign),
+            bit_synced=sel(bit_synced, st.bit_synced),
+            bit_phase=sel(bit_phase, st.bit_phase),
+            sec_buf=jnp.where(act[:, None], sec_state["sec_buf"],
+                              st.sec_buf),
+            sec_synced=sel(sec_state["sec_synced"], st.sec_synced),
+            sec_off=sel(sec_state["sec_off"], st.sec_off),
+            sec_polarity=sel(sec_state["sec_polarity"], st.sec_polarity),
+            ext_n=jnp.where(act, jnp.minimum(st.ext_n + 1,
+                                             jnp.int32(10000)), st.ext_n),
+        )
+        outs = {
+            "prompt": (data_prompt if data_prompt is not None
+                       else prompt).T,                         # [E, C]
+            "early_mag": jnp.abs(early).T,
+            "late_mag": jnp.abs(late).T,
+            "carrier_doppler_hz": jnp.broadcast_to(dop[None, :],
+                                                   (e_block, c_ch)),
+            "code_freq_cps": jnp.broadcast_to(rate[None, :],
+                                              (e_block, c_ch)),
+            "rem_code_phase_chips": rem_end.T,
+            "acc_phase_cycles": acc_e.T,
+            "code_phase_samples": (rem_end / rate[:, None]
+                                   * jnp.float32(fs)).T,
+            "pos_start": (st.pos[:, None]
+                          + n_cum.astype(jnp.int32)).T,
+            "n_samples": n_len.astype(jnp.int32).T,
+            "cn0_db_hz": jnp.broadcast_to(cn0_db[None, :],
+                                          (e_block, c_ch)),
+            "valid": jnp.broadcast_to(act[None, :], (e_block, c_ch)),
+        }
+        return new_state, outs
+
+    new_state, outs = jax.lax.scan(body, state, None, length=n_blocks)
+    # [n_blocks, E, C] -> [T, C]
+    outs = {k: v.reshape(n_blocks * e_block, -1) for k, v in outs.items()}
+    return new_state, outs
+
+
+@partial(jax.jit, static_argnames=("conf", "n_blocks", "e_block", "decim"))
+def track_chunk_blocks_packed_decim(conf: TrackingConf, n_blocks: int,
+                                    e_block: int, decim: int,
+                                    codes_fft: jax.Array, taps: jax.Array,
+                                    x_chunk: jax.Array, state: TrackState,
+                                    sec_code: jax.Array | None = None,
+                                    data_codes_fft: jax.Array | None = None):
+    """Block kernel + the same rate-split single-buffer transfer format
+    as tracking.track_chunk_packed_decim."""
+    new_state, outs = track_chunk_blocks(
+        conf, n_blocks, e_block, codes_fft, taps, x_chunk, state,
+        sec_code=sec_code, data_codes_fft=data_codes_fft)
+    n_epochs = n_blocks * e_block
+    pre = jnp.real(outs["prompt"])
+    valid = outs["valid"]
+    scale = jnp.maximum(jnp.max(jnp.abs(pre), axis=0) / 126.0,
+                        jnp.float32(1e-20))
+    q = jnp.clip(jnp.round(pre / scale), -126.0, 126.0).astype(jnp.int8)
+    sym = jnp.where(valid, q, jnp.int8(-128))
+    rows = jnp.arange(decim - 1, n_epochs, decim)
+    f32 = jnp.stack([outs[k][rows] for k in _DECIM_F32])
+    sc = (outs["pos_start"][rows]
+          + outs["n_samples"][rows]).astype(jnp.int32)
+    flat = sym.ravel()
+    pad = (-flat.shape[0]) % 4
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.int8)])
+    sym_i32 = jax.lax.bitcast_convert_type(flat.reshape(-1, 4), jnp.int32)
+    buf = jnp.concatenate([
+        sym_i32,
+        jax.lax.bitcast_convert_type(f32, jnp.int32).ravel(),
+        sc.ravel(),
+        new_state.pos.astype(jnp.int32),
+        new_state.active.astype(jnp.int32),
+        new_state.lock_lost.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(scale, jnp.int32)])
+    return new_state, buf
