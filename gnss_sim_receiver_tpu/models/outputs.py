@@ -380,19 +380,133 @@ def write_rinex_nav(path, ephemerides: dict, week: int) -> None:
             continue
         toc = gps_time_to_utc(week, e.toc, 0.0)
         iode = getattr(e, "iode", 0)
+        # broadcast-orbit line 1 field 1 and lines 6-8 are
+        # constellation-specific (RINEX 3.02 tables A14/A15/A16;
+        # rinex_printer.cc log_rinex_nav per-system overloads)
+        if system == "Galileo":
+            first = float(getattr(e, "iod_nav", iode))
+        elif system == "BeiDou":
+            first = float(getattr(e, "iode", 0))     # AODE
+        else:
+            first = float(iode)
         lines.append(f"{letter}{prn:02d} {toc.year:4d} {toc.month:02d} "
                      f"{toc.day:02d} {toc.hour:02d} {toc.minute:02d} "
                      f"{toc.second:02d}{f(e.af0)}{f(e.af1)}{f(e.af2)}")
-        lines.append(f"    {f(iode)}{f(e.crs)}{f(e.delta_n_sc * np.pi)}"
+        lines.append(f"    {f(first)}{f(e.crs)}{f(e.delta_n_sc * np.pi)}"
                      f"{f(e.m0_sc * np.pi)}")
         lines.append(f"    {f(e.cuc)}{f(e.ecc)}{f(e.cus)}{f(e.sqrt_a)}")
         lines.append(f"    {f(e.toe)}{f(e.cic)}{f(e.omega0_sc * np.pi)}"
                      f"{f(e.cis)}")
         lines.append(f"    {f(e.i0_sc * np.pi)}{f(e.crc)}"
                      f"{f(e.omega_sc * np.pi)}{f(e.omega_dot_sc * np.pi)}")
-        lines.append(f"    {f(e.idot_sc * np.pi)}{f(0.0)}{f(float(week))}"
-                     f"{f(0.0)}")
-        lines.append(f"    {f(2.0)}{f(0.0)}{f(e.tgd)}"
-                     f"{f(float(getattr(e, 'iodc', 0)))}")
-        lines.append(f"    {f(0.0)}{f(4.0)}")
+        if system == "Galileo":
+            # data sources (bit0: I/NAV E1-B), GAL week; SISA, health,
+            # BGD(E1,E5a), BGD(E1,E5b); transmission time
+            lines.append(f"    {f(e.idot_sc * np.pi)}{f(513.0)}"
+                         f"{f(float(week))}{f(0.0)}")
+            lines.append(f"    {f(3.12)}{f(0.0)}"
+                         f"{f(getattr(e, 'bgd_e1e5a', 0.0))}"
+                         f"{f(getattr(e, 'bgd_e1e5b', 0.0))}")
+            lines.append(f"    {f(e.toe)}{f(0.0)}")
+        elif system == "BeiDou":
+            # spare, BDT week (BDT = GPS week - 1356 on the common
+            # timescale); SV accuracy, SatH1, TGD1, TGD2; ttom, AODC
+            lines.append(f"    {f(e.idot_sc * np.pi)}{f(0.0)}"
+                         f"{f(float(week - 1356))}{f(0.0)}")
+            lines.append(f"    {f(2.0)}{f(0.0)}{f(e.tgd)}"
+                         f"{f(getattr(e, 'tgd2', 0.0))}")
+            lines.append(f"    {f(e.toe)}"
+                         f"{f(float(getattr(e, 'iodc', 0)))}")
+        else:
+            # GPS: codes on L2, GPS week, L2P flag; SV accuracy, health,
+            # TGD, IODC; transmission time, fit interval
+            lines.append(f"    {f(e.idot_sc * np.pi)}{f(0.0)}"
+                         f"{f(float(week))}{f(0.0)}")
+            lines.append(f"    {f(2.0)}{f(0.0)}{f(e.tgd)}"
+                         f"{f(float(getattr(e, 'iodc', 0)))}")
+            lines.append(f"    {f(e.toe)}{f(4.0)}")
     Path(path).write_text("\n".join(lines) + "\n")
+
+
+def utc_to_gps_time(dt, leap_s: float = 18.0):
+    """datetime -> (week, tow_s); inverse of gps_time_to_utc."""
+    delta = (dt - GPS_EPOCH).total_seconds() + leap_s
+    week = int(delta // 604800.0)
+    return week, delta - week * 604800.0
+
+
+def read_rinex_nav(path):
+    """RINEX 3.02 navigation reader (inverse of write_rinex_nav for the
+    Kepler systems G/E/C; GLONASS R records are skipped).  Returns the
+    receiver's mixed ephemeris dict: GPS under int PRN keys, others under
+    (system, prn) — the same shape Receiver.process_array(ephemerides=)
+    and nav.ephemeris.save_assistance consume."""
+    import re
+
+    from gnss_sim_receiver_tpu.nav.ephemeris import GpsEphemeris
+
+    sys_of = {"G": "GPS", "E": "Galileo", "C": "BeiDou"}
+    text = Path(path).read_text().splitlines()
+    i = 0
+    while i < len(text) and "END OF HEADER" not in text[i]:
+        i += 1
+    i += 1
+
+    def fields(line, start=4):
+        out = []
+        for j in range(start, len(line), 19):
+            s = line[j:j + 19].strip()
+            if s:
+                out.append(float(s.replace("D", "E")))
+        return out
+
+    ephs = {}
+    while i < len(text):
+        line = text[i]
+        if not line or line[0] not in "GECR":
+            i += 1
+            continue
+        if line[0] == "R":
+            i += 4
+            continue
+        system = sys_of[line[0]]
+        prn = int(line[1:3])
+        m = re.match(r".{3}\s*(\d{4})\s+(\d+)\s+(\d+)\s+(\d+)\s+(\d+)"
+                     r"\s+(\d+)", line)
+        y, mo, d, h, mi, sec = (int(g) for g in m.groups())
+        week, toc = utc_to_gps_time(datetime.datetime(
+            y, mo, d, h, mi, sec, tzinfo=datetime.timezone.utc))
+        clk = fields(line, start=23)
+        rows = [fields(text[i + k]) for k in range(1, 8)
+                if i + k < len(text)]
+        n_rows = 7
+        vals = [v for r in rows[:n_rows] for v in r]
+        e = GpsEphemeris(prn=prn, system=system, week=week, toc=toc,
+                         af0=clk[0], af1=clk[1], af2=clk[2])
+        (first, e.crs, dn, m0) = vals[0:4]
+        e.delta_n_sc = dn / np.pi
+        e.m0_sc = m0 / np.pi
+        (e.cuc, e.ecc, e.cus, e.sqrt_a) = vals[4:8]
+        (e.toe, e.cic, om0, e.cis) = vals[8:12]
+        e.omega0_sc = om0 / np.pi
+        (i0, e.crc, om, omd) = vals[12:16]
+        e.i0_sc = i0 / np.pi
+        e.omega_sc = om / np.pi
+        e.omega_dot_sc = omd / np.pi
+        e.idot_sc = vals[16] / np.pi
+        if system == "Galileo":
+            e.iod_nav = int(first)
+            e.bgd_e1e5a = vals[22] if len(vals) > 22 else 0.0
+            e.bgd_e1e5b = vals[23] if len(vals) > 23 else 0.0
+        elif system == "BeiDou":
+            e.iode = int(first)
+            e.tgd = vals[22] if len(vals) > 22 else 0.0
+            e.iodc = int(vals[25]) if len(vals) > 25 else 0
+        else:
+            e.iode = int(first)
+            e.tgd = vals[22] if len(vals) > 22 else 0.0
+            e.iodc = int(vals[23]) if len(vals) > 23 else 0
+        key = prn if system == "GPS" else (system, prn)
+        ephs[key] = e
+        i += 1 + n_rows
+    return ephs

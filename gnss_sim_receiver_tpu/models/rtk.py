@@ -279,6 +279,15 @@ class RtkConf:
     ratio_threshold: float = 3.0    # resamb_LAMBDA ratio test
     pos_process_noise_ms: float = 0.0   # kinematic random walk [m/sqrt(s)]
     min_sats: int = 4
+    # DLL-settling down-weight (rtklib varerr's lock-count factor role):
+    # a freshly tracked channel's pseudorange carries a decaying pull-in
+    # transient (up to ~0.05 chips at 2 Msps); its code variance is
+    # inflated by (code_settle_sigma_m * exp(-age/code_settle_tau_s))^2
+    # for `age` seconds since the satellite first appeared in the
+    # rover/base common set, so the float EKF does not bake the early
+    # bias into its state
+    code_settle_sigma_m: float = 5.0
+    code_settle_tau_s: float = 1.0
 
 
 @dataclasses.dataclass
@@ -349,6 +358,7 @@ class RtkEngine:
         self.P = None
         self.amb_keys: list = []    # (system, prn) per ambiguity state
         self.refsat: dict = {}      # system -> (system, prn)
+        self.first_seen: dict = {}  # (system, prn) -> rx time first common
         self.last_t = None
 
     # -- state bookkeeping --------------------------------------------------
@@ -509,23 +519,37 @@ class RtkEngine:
             r_pred])
 
         # DD covariance: shared reference satellite correlates the DDs
-        # within a system (var_i + var_ref diagonal, var_ref off-diagonal)
-        def dd_cov(sig):
+        # within a system (var_i + var_ref diagonal, var_ref off-diagonal).
+        # `var_by_key` gives per-satellite undifferenced variances (the
+        # DLL-settling code down-weight is per satellite).
+        def dd_cov(var_by_key):
             R = np.zeros((n_dd, n_dd))
             for i, ki in enumerate(dd_keys):
                 for j, kj in enumerate(dd_keys):
                     if ki[0] != kj[0]:
                         continue
-                    v_ref = 2.0 * sig ** 2   # SD var = 2 x undifferenced
+                    v_ref = 2.0 * var_by_key[refs[ki[0]]]  # SD = 2x undiff
                     if i == j:
-                        R[i, j] = 2.0 * v_ref
+                        R[i, j] = v_ref + 2.0 * var_by_key[ki]
                     else:
                         R[i, j] = v_ref
             return R
 
+        # track first-common times for the settling down-weight
+        t_now = rover_obs.rx_time_s
+        for k in common:
+            self.first_seen.setdefault(k, t_now)
+        carr_var = {k: conf.carrier_sigma_m ** 2 for k in common}
+        code_var = {}
+        for k in common:
+            age = max(t_now - self.first_seen[k], 0.0)
+            settle = (conf.code_settle_sigma_m
+                      * np.exp(-age / max(conf.code_settle_tau_s, 1e-3)))
+            code_var[k] = conf.code_sigma_m ** 2 + settle ** 2
+
         R = np.zeros((2 * n_dd, 2 * n_dd))
-        R[:n_dd, :n_dd] = dd_cov(conf.carrier_sigma_m)
-        R[n_dd:, n_dd:] = dd_cov(conf.code_sigma_m)
+        R[:n_dd, :n_dd] = dd_cov(carr_var)
+        R[n_dd:, n_dd:] = dd_cov(code_var)
 
         # innovation gating: reject CODE rows whose residual exceeds 6
         # sigma of the predicted innovation (settling channels, cycle

@@ -90,6 +90,40 @@ class TelemetryOutputs:
     phase_half_cycles: np.ndarray | None = None
 
 
+class TlmCrcStats:
+    """Telemetry CRC/parity pass-rate statistics (reference Tlm_CRC_Stats,
+    telemetry_decoder/libs/tlm_crc_stats.{h,cc}): per-channel ok/total
+    counters with a success-rate accessor and a text dump.  Attach an
+    instance to any telemetry decoder as `decoder.crc_stats`; every frame/
+    page/message CRC (or LNAV word-parity) outcome is recorded."""
+
+    def __init__(self):
+        self.ok: dict[int, int] = {}
+        self.total: dict[int, int] = {}
+
+    def update(self, channel: int, ok: bool) -> None:
+        self.total[channel] = self.total.get(channel, 0) + 1
+        if ok:
+            self.ok[channel] = self.ok.get(channel, 0) + 1
+
+    def rate(self, channel: int) -> float:
+        t = self.total.get(channel, 0)
+        return self.ok.get(channel, 0) / t if t else 0.0
+
+    def write(self, path) -> None:
+        with open(path, "w") as fh:
+            fh.write("channel ok total rate\n")
+            for c in sorted(self.total):
+                fh.write(f"{c} {self.ok.get(c, 0)} {self.total[c]} "
+                         f"{self.rate(c):.4f}\n")
+
+
+def _note_crc(decoder, channel: int, ok: bool) -> None:
+    st = getattr(decoder, "crc_stats", None)
+    if st is not None:
+        st.update(channel, ok)
+
+
 class TelemetryDecoder:
     def __init__(self, prns):
         self.prns = [int(p) for p in prns]
@@ -266,6 +300,7 @@ class GalileoE1bTelemetryDecoder:
             st = self.ch[c]
             pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
             for ev in st.decoder.push_symbols(pi.tolist()):
+                _note_crc(self, c, ev.crc_ok)
                 if not ev.crc_ok:
                     continue
                 self._handle_word(st, c, ev, new_eph,
@@ -409,6 +444,7 @@ class GpsCnavTelemetryDecoder:
             else:
                 soft, st.pend = st.pend, []
             for ev in st.decoder.push_symbols(soft):
+                _note_crc(self, c, ev.crc_ok)
                 if not ev.crc_ok or ev.msg_type not in (10, 11, 30):
                     continue
                 st.msgs[ev.msg_type] = ev.fields
@@ -488,6 +524,7 @@ class GalileoE5aTelemetryDecoder:
             pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
             st.pend.extend(pi.tolist())
             for ev in st.decoder.push_symbols(self._symbols(st, cs)):
+                _note_crc(self, c, ev.crc_ok)
                 if not ev.crc_ok or ev.word_type not in (1, 2, 3, 4):
                     continue
                 st.msgs[ev.word_type] = ev.fields
@@ -656,6 +693,7 @@ class BeidouB1iTelemetryDecoder:
             if self._is_geo(self.prns[c]):
                 # D2: 1 ms prompts straight into the page decoder
                 for ev in st.decoder.push_symbols(pi):
+                    _note_crc(self, c, ev.ok)
                     if not ev.ok:
                         continue
                     if ev.fra_id == 1:
@@ -671,6 +709,7 @@ class BeidouB1iTelemetryDecoder:
                 soft_bits = _fold_secondary(st, self._nh, margin=1.2,
                                             min_symbols=10)
                 for ev in st.decoder.push_bits(soft_bits):
+                    _note_crc(self, c, ev.ok)
                     if not ev.ok or ev.fra_id not in (1, 2, 3):
                         continue
                     st.msgs[ev.fra_id] = ev.fields
@@ -761,6 +800,7 @@ class GalileoE5bTelemetryDecoder:
             symbols = _fold_secondary(st, self._cs, margin=1.15,
                                       min_symbols=60)
             for ev in st.decoder.push_symbols(symbols):
+                _note_crc(self, c, ev.crc_ok)
                 if not ev.crc_ok:
                     continue
                 self._handle_word(st, c, ev, new_eph,
@@ -872,6 +912,7 @@ class GalileoE6bTelemetryDecoder:
             st = self.ch[c]
             pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
             for ev in st.decoder.push_symbols(pi.tolist()):
+                _note_crc(self, c, ev.crc_ok)
                 if not ev.crc_ok:
                     continue
                 self.pages.append((c, ev))
@@ -994,6 +1035,7 @@ class SbasL1TelemetryDecoder:
             st.n_sym_fed += n_sym
             for ev in st.decoder.push_symbols(syms):
                 self.messages.append((c, self.prns[c], ev))
+                _note_crc(self, c, ev.crc_ok)
                 if ev.crc_ok and ev.msg_type == 12:
                     # MT12 GPS-time anchor: the message starts on a whole
                     # SBAS-network second == its broadcast GPS TOW

@@ -349,10 +349,14 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
     t_int = n_c.astype(jnp.float32) / jnp.float32(fs)
 
     # --- correlate (do_correlation_step :1037) -----------------------------
+    # table oversample inferred from the table: raw +-1 chip tables -> 1;
+    # band-limited sub-chip tables (bandlimited_table_normalized) -> K
+    k_ovs = codes.shape[1] // conf.code_length_chips
     blocks = correlator.gather_blocks(x_chunk, state.pos, conf.block_size)
     corr = correlator.correlate_multitap(
         blocks, codes, taps, state.rem_code_phase, state.code_freq,
-        state.rem_carr_phase, state.carrier_doppler, n_c, fs)
+        state.rem_carr_phase, state.carrier_doppler, n_c, fs,
+        table_oversample=k_ovs)
     # track_pilot: separate data-prompt correlator on the data code (the
     # loops and lock detectors below stay on the pilot correlators)
     data_prompt = None
@@ -361,7 +365,8 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         dcorr = correlator.correlate_multitap(
             blocks, data_codes, zero_tap, state.rem_code_phase,
             state.code_freq, state.rem_carr_phase, state.carrier_doppler,
-            n_c, fs)
+            n_c, fs,
+            table_oversample=data_codes.shape[1] // conf.code_length_chips)
         data_prompt = dcorr[:, 0]
     veml = conf.very_early_late_space_chips > 0.0
     if veml:   # taps = [VE, E, P, L, VL]
@@ -796,16 +801,20 @@ class TrackingEngine:
         self.n_channels = len(self.prns)
         self.code_provider = code_provider or prn_codes.gps_l1_ca_code
         self.data_code_provider = data_code_provider
+        # band-limited sub-chip replica tables: both kernels (per-epoch
+        # gather and block-FFT) correlate against the SAME filtered
+        # waveform, so amplitudes, lock points and therefore pseudorange
+        # conventions agree across kernel handoffs (RTK DD cancellation;
+        # see prn_codes.bandlimited_table)
+        self.table_oversample = 8
         # prn <= 0 = unassigned channel (zero code row until reassignment)
         self.codes = jnp.asarray(np.stack([
-            np.asarray(self.code_provider(p), np.float32) if p > 0
-            else np.zeros(conf.code_length_chips, np.float32)
+            self._replica_table(self.code_provider, p)
             for p in self.prns]))
         self.data_codes = None
         if conf.track_pilot and data_code_provider is not None:
             self.data_codes = jnp.asarray(np.stack([
-                np.asarray(data_code_provider(p), np.float32) if p > 0
-                else np.zeros(conf.code_length_chips, np.float32)
+                self._replica_table(data_code_provider, p)
                 for p in self.prns]))
         d = conf.early_late_space_chips
         dv = conf.very_early_late_space_chips
@@ -830,18 +839,27 @@ class TrackingEngine:
         self._data_codes_fft = None
         self._sec_code_dev = None
 
+    def _replica_table(self, provider, prn: int) -> np.ndarray:
+        if prn <= 0:
+            return np.zeros(
+                self.conf.code_length_chips * self.table_oversample,
+                np.float32)
+        return prn_codes.bandlimited_table_normalized(
+            np.asarray(provider(prn), np.float32), self.conf.fs,
+            self.conf.code_rate_cps, self.conf.nominal_epoch_samples,
+            self.table_oversample)
+
     def set_channel_prn(self, ch: int, prn: int) -> None:
         """Re-point a channel at a different satellite (channel/satellite
         reassignment, gnss_flowgraph.cc apply_action): swaps the device
         code-table row."""
         self.prns[ch] = int(prn)
         self.codes = self.codes.at[ch].set(
-            jnp.asarray(np.asarray(self.code_provider(int(prn)),
-                                   np.float32)))
+            jnp.asarray(self._replica_table(self.code_provider, int(prn))))
         if self.data_codes is not None:
             self.data_codes = self.data_codes.at[ch].set(
-                jnp.asarray(np.asarray(self.data_code_provider(int(prn)),
-                                       np.float32)))
+                jnp.asarray(self._replica_table(self.data_code_provider,
+                                                int(prn))))
         self._codes_fft = None          # block tables now stale
         self._data_codes_fft = None
 
@@ -897,18 +915,12 @@ class TrackingEngine:
         from gnss_sim_receiver_tpu.models import tracking_block as tb
         if self._codes_fft is not None:
             return
-        n = self.conf.nominal_epoch_samples
-        def spectra(provider):
-            sampled = np.stack([
-                prn_codes.sample_code(
-                    np.asarray(provider(p), np.float32), self.conf.fs,
-                    self.conf.code_rate_cps, n) if p > 0
-                else np.zeros(n, np.float32)
-                for p in self.prns])
-            return tb.code_spectra(self.conf, jnp.asarray(sampled))
-        self._codes_fft = spectra(self.code_provider)
-        if self.conf.track_pilot and self.data_code_provider is not None:
-            self._data_codes_fft = spectra(self.data_code_provider)
+        # spectra from the SAME band-limited tables the per-epoch kernel
+        # gathers from (one replica convention for both kernels)
+        self._codes_fft = tb.code_spectra(self.conf, np.asarray(self.codes))
+        if self.conf.track_pilot and self.data_codes is not None:
+            self._data_codes_fft = tb.code_spectra(
+                self.conf, np.asarray(self.data_codes))
         if len(self.conf.secondary_code) > 0:
             sec = np.asarray(self.conf.secondary_code, np.float32)
             if set(np.unique(sec)) <= {0.0, 1.0}:
@@ -958,27 +970,45 @@ class TrackingEngine:
             raise ValueError(
                 "chunk-relative position would overflow int32; feed the "
                 "engine a windowed sample array with a larger x_abs_start")
-        need = int(rel[active].max()) + n_epochs * (
+        use_blk = (use_blocks and decim is not None and decim > 1
+                   and self.block_mode_ok(n_epochs))
+        # the block kernel reads a [pos-128, pos+e_block*s0+NFFT+256)
+        # window per block — wider than the per-epoch kernel's
+        # block_size; size `need` for whichever kernel runs so a tight
+        # tail falls back to the per-epoch kernel instead of feeding the
+        # gather clamped (= silently shifted) samples
+        if use_blk:
+            from gnss_sim_receiver_tpu.models import tracking_block as tb
+            blk_extra = tb.block_fft_size(self.conf) + 256
+        else:
+            blk_extra = 0
+        need0 = int(rel[active].max()) + n_epochs * (
             self.conf.nominal_epoch_samples + 2) + self.conf.block_size
+        if use_blk and len(x) < need0 + blk_extra:
+            use_blk = False
+            blk_extra = 0
+        need = need0 + blk_extra
         if len(x) < need:
             raise ValueError(f"need >= {need} samples, got {len(x)}")
         # window the capture down to what this chunk reads (see
         # _window_slice): inactive channels are parked on their own
         # positions, so rebase ALL rel onto the window start and mask
-        # inactive ones to 0 (their rows are discarded anyway)
+        # inactive ones to 0 (their rows are discarded anyway).  The
+        # pre-position margin must cover the block kernel's 128-sample
+        # guard (the in-kernel g_eff clamp keeps even margin-less
+        # positions correct, at slightly reduced early-window context)
         rmin = int(rel[active].min())
-        span = need - rmin + 128
+        span = need - rmin + 384
         win_len = max(1 << (span - 1).bit_length(), 1 << 18)
         if len(x) > 2 * win_len:
-            start0 = max(0, min(rmin - 64, len(x) - win_len))
+            start0 = max(0, min(rmin - 256, len(x) - win_len))
             x = x[start0:start0 + win_len] if isinstance(x, np.ndarray) \
                 else _window_slice(x, jnp.int32(start0), win_len)
             x_abs_start = x_abs_start + start0
             rel = np.where(active, rel - start0, 0)
         state = self.state._replace(pos=jnp.asarray(rel, jnp.int32))
         x_dev = xfer.device_put_complex(x)
-        if (use_blocks and decim is not None and decim > 1
-                and self.block_mode_ok(n_epochs)):
+        if use_blk:
             from gnss_sim_receiver_tpu.models import tracking_block as tb
             self._ensure_block_tables()
             e_blk = self.block_epochs

@@ -58,14 +58,50 @@ def block_fft_size(conf: TrackingConf) -> int:
     return 1 << int(np.ceil(np.log2(n)))
 
 
-def code_spectra(conf: TrackingConf, codes_sampled: jnp.ndarray) -> jnp.ndarray:
-    """conj(FFT(zero-padded nominal-rate code)) per channel [C, NFFT].
-    `codes_sampled` is the +-1 code resampled at fs over one code period
-    (prn_codes.sample_code of each channel's table)."""
+def code_spectra(conf: TrackingConf, code_tables, oversample: int = 8):
+    """conj(FFT(fs-sampled band-limited replica)) per channel
+    -> [C, NFFT] complex64.
+
+    The replica is the band-limited sub-chip table
+    (prn_codes.bandlimited_table_normalized) sampled at fs over one code
+    period — the SAME waveform the per-epoch kernel gathers from, so
+    amplitudes and DLL lock points agree between kernels (pseudorange
+    conventions cancel in RTK double differences across handoffs).
+    A band-limited replica's correlation amplitude and lock point are
+    also invariant to sub-sample code phase, unlike a zero-order-hold
+    replica whose frozen edge-quantization pattern ripples by ~14% per
+    sample of code-Doppler drift (measured in
+    tests/test_tracking_block.py).
+
+    `code_tables` may be raw +-1 chip tables [C, L] (band-limited and
+    normalized here) or prebuilt band-limited tables [C, L*K]
+    (TrackingEngine.codes).  Host-side precompute, not a hot path.
+    """
+    from gnss_sim_receiver_tpu.ops import prn_codes
+    from gnss_sim_receiver_tpu.utils import xfer
+
     nfft = block_fft_size(conf)
-    pad = nfft - codes_sampled.shape[-1]
-    z = jnp.pad(codes_sampled.astype(jnp.complex64), ((0, 0), (0, pad)))
-    return jnp.conj(jnp.fft.fft(z, axis=-1))
+    s0 = conf.nominal_epoch_samples
+    tables = np.asarray(code_tables, np.float32)
+    l = conf.code_length_chips
+    k = tables.shape[1] // l
+    if k == 1:
+        tables = np.stack([
+            prn_codes.bandlimited_table_normalized(
+                row, conf.fs, conf.code_rate_cps, s0, oversample)
+            if np.any(row) else
+            np.zeros(l * oversample, np.float32)
+            for row in tables])
+        k = oversample
+    idx = (np.floor(np.arange(s0, dtype=np.float64)
+                    * (conf.code_rate_cps / conf.fs) * k).astype(np.int64)
+           % tables.shape[1])
+    z = np.zeros((tables.shape[0], nfft), np.float32)
+    z[:, :s0] = tables[:, idx]
+    spec = np.conj(np.fft.fft(z, axis=-1)).astype(np.complex64)
+    # complex64 host->device upload is UNIMPLEMENTED on the axon remote
+    # TPU attachment — ship two float planes (utils.xfer)
+    return xfer.device_put_complex(spec)
 
 
 @partial(jax.jit, static_argnames=("conf", "n_blocks", "e_block"))
@@ -123,13 +159,19 @@ def track_chunk_blocks(conf: TrackingConf, n_blocks: int, e_block: int,
             * rate / jnp.float32(fs)
 
         # ---- gather the block once per channel -------------------------
-        seg0 = st.pos - guard
+        # per-channel effective guard: a channel parked near the chunk
+        # start (pos < guard) would otherwise have its gather clamped and
+        # the whole window silently SHIFTED — corrupt correlations for
+        # the first blocks after a handoff (the r4 PRN-drop bug)
+        g_eff = jnp.minimum(st.pos, jnp.int32(guard))          # [C]
+        seg0 = st.pos - g_eff
         xb = correlator.gather_blocks(x_chunk, seg0, btot)     # [C, BTOT]
 
         # ---- carrier wipeoff over the whole block ----------------------
         n_axis = jax.lax.broadcasted_iota(jnp.float32, (1, btot), 1)
         ph = (st.rem_carr_phase[:, None]
-              + two_pi * dop[:, None] * (n_axis - jnp.float32(guard))
+              + two_pi * dop[:, None]
+              * (n_axis - g_eff[:, None].astype(jnp.float32))
               / jnp.float32(fs))
         xb = xb * jax.lax.complex(jnp.cos(ph), -jnp.sin(ph))
 
@@ -143,7 +185,8 @@ def track_chunk_blocks(conf: TrackingConf, n_blocks: int, e_block: int,
         # ---- phasor lags ----------------------------------------------
         # epoch e's code period starts at sample (pos + n_cum) absolute;
         # its lag inside window e = pos + n_cum - (seg0 + e*s0)
-        lag = (jnp.float32(guard) + n_cum - rem_e / rate[:, None]
+        lag = (g_eff[:, None].astype(jnp.float32) + n_cum
+               - rem_e / rate[:, None]
                * jnp.float32(fs) - e_idx[None, :] * jnp.float32(s0))
         # deterministic half-stretch correction: the nominal-rate replica
         # vs the Doppler-stretched signal biases the lag by half the
@@ -158,33 +201,37 @@ def track_chunk_blocks(conf: TrackingConf, n_blocks: int, e_block: int,
         # phase-0 moves EARLIER by tap/rate*fs samples -> NEGATIVE lag
         tap_samps = (-taps[None, :] / rate[:, None]
                      * jnp.float32(fs))                        # [C, K]
-        # correlations at the two INTEGER lags bracketing each tap, then
-        # linear interpolation: integer-lag FFT correlations are exact,
-        # and the true correlation of rectangular chips is piecewise
-        # linear in lag — sinc (phasor-only) interpolation rings on BOC
-        # codes and biases the discriminator lock point
+        # exact DTFT fractional-lag phasors.  NOT 2-point linear
+        # interpolation between integer lags: the DLL parks the prompt at
+        # the correlation peak, which always sits inside the one
+        # integer-lag bracket where linear interpolation of the triangle
+        # is worst — losing 2f(1-f)/spc of the amplitude (up to ~26% at
+        # fractional lag f=0.5 with ~2 samples/chip) and biasing each tap
+        # differently (tap spacing is a non-integer sample count), i.e. a
+        # code-phase-dependent lock-point bias.  The exact phasor is the
+        # band-limited shift of the sampled sequences: its only artifact
+        # is the deterministic few-percent edge-sampling ripple that the
+        # time-domain resampler exhibits too.  (One cos/sin instead of
+        # two — also cheaper.)
         lags = lag[:, :, None] + tap_samps[:, None, :]         # [C, E, K]
-        base = jnp.floor(lags)
-        frac = (lags - base)[..., None]                        # [C,E,K,1]
-        ang0 = (two_pi * f_bins[None, None, None, :]
-                * base[..., None] / jnp.float32(nfft))
-        ang1 = (two_pi * f_bins[None, None, None, :]
-                * (base[..., None] + 1.0) / jnp.float32(nfft))
-        p = ((1.0 - frac) * jax.lax.complex(jnp.cos(ang0), jnp.sin(ang0))
-             + frac * jax.lax.complex(jnp.cos(ang1), jnp.sin(ang1)))
+        ang = (two_pi * f_bins[None, None, None, :]
+               * lags[..., None] / jnp.float32(nfft))
+        p = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
         corr = jnp.einsum("cef,cekf->cek", y, p) / jnp.float32(nfft)
 
         prompt = corr[:, :, prompt_i]                          # [C, E]
         early = corr[:, :, prompt_i - 1]
         late = corr[:, :, prompt_i + 1]
 
-        # optional data-component prompt (track_pilot)
+        # optional data-component prompt (track_pilot): correlate the
+        # data code's spectrum at the PROMPT lag only (the per-epoch
+        # kernel's zero-tap dcorr, tracking.py _epoch_step)
         data_prompt = None
         if data_codes_fft is not None:
-            yd = xf * data_codes_fft[:, None, :] * p_lag
+            yd = xf * data_codes_fft[:, None, :]               # [C, E, F]
             data_prompt = jnp.einsum(
-                "cef,cf->ce", yd,
-                p_tap[:, prompt_i, :]) / jnp.float32(nfft)
+                "cef,cef->ce", yd,
+                p[:, :, prompt_i, :]) / jnp.float32(nfft)
 
         # ---- secondary-code sync + wipeoff (pilot) ---------------------
         epoch_g = st.epoch[:, None] + jnp.arange(e_block)[None, :]

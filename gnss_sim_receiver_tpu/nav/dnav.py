@@ -106,129 +106,153 @@ def deinterleave_word(word30: np.ndarray):
 
 
 # --------------------------------------------------------------------------
-# subframe payload layouts: field -> (start, n, scale, signed) over the
-# 198-bit data payload (words 2-10 x 22 data bits; 1-indexed).  Word 1's
-# 8-bit data slot carries SOW's top bits; here the full 20-bit SOW leads
-# the payload instead (self-consistent; BDS scales per ICD tables 5-5..5-11,
-# angles in semicircles).
+# subframe field layouts in RAW ICD coordinates: 1-based bit positions on
+# the DE-INTERLEAVED 300-bit frame, exactly the reference's decode_subframe
+# reassembly (beidou_b1i_telemetry_decoder_gs.cc:200-243: word 1 raw; each
+# word >= 2 re-ordered to [11+11 data | 4+4 BCH parity]).  Positions and
+# splits match Beidou_DNAV.h D1_*/D2_* tables bit for bit, so a real B1I
+# broadcast decodes and the packed frames are ICD-interoperable.
+# Field spec: name -> (((start, len), ...), scale, signed).
 # --------------------------------------------------------------------------
 
+_SOW = ((19, 8), (31, 12))
+
 _SF1 = {
-    "sow":     (1, 20, 1.0, False),
-    "sat_h1":  (21, 1, 1.0, False),
-    "aodc":    (22, 5, 1.0, False),
-    "urai":    (27, 4, 1.0, False),
-    "wn":      (31, 13, 1.0, False),
-    "toc":     (44, 17, 8.0, False),
-    "tgd1":    (61, 10, 1e-10, True),
-    "alpha0":  (71, 8, 2.0 ** -30, True),
-    "alpha1":  (79, 8, 2.0 ** -27, True),
-    "alpha2":  (87, 8, 2.0 ** -24, True),
-    "alpha3":  (95, 8, 2.0 ** -24, True),
-    "beta0":   (103, 8, 2.0 ** 11, True),
-    "beta1":   (111, 8, 2.0 ** 14, True),
-    "beta2":   (119, 8, 2.0 ** 16, True),
-    "beta3":   (127, 8, 2.0 ** 16, True),
-    "a2":      (135, 11, 2.0 ** -66, True),
-    "a0":      (146, 24, 2.0 ** -33, True),
-    "a1":      (170, 22, 2.0 ** -50, True),
-    "aode":    (192, 5, 1.0, False),
+    "sow":     (_SOW, 1.0, False),
+    "sat_h1":  (((43, 1),), 1.0, False),
+    "aodc":    (((44, 5),), 1.0, False),
+    "urai":    (((49, 4),), 1.0, False),
+    "wn":      (((61, 13),), 1.0, False),
+    "toc":     (((74, 9), (91, 8)), 8.0, False),
+    "tgd1":    (((99, 10),), 1e-10, True),
+    "tgd2":    (((109, 4), (121, 6)), 1e-10, True),
+    "alpha0":  (((127, 8),), 2.0 ** -30, True),
+    "alpha1":  (((135, 8),), 2.0 ** -27, True),
+    "alpha2":  (((151, 8),), 2.0 ** -24, True),
+    "alpha3":  (((159, 8),), 2.0 ** -24, True),
+    "beta0":   (((167, 6), (181, 2)), 2.0 ** 11, True),
+    "beta1":   (((183, 8),), 2.0 ** 14, True),
+    "beta2":   (((191, 8),), 2.0 ** 16, True),
+    "beta3":   (((199, 4), (211, 4)), 2.0 ** 16, True),
+    "a2":      (((215, 11),), 2.0 ** -66, True),
+    "a0":      (((226, 7), (241, 17)), 2.0 ** -33, True),
+    "a1":      (((258, 5), (271, 17)), 2.0 ** -50, True),
+    "aode":    (((288, 5),), 1.0, False),
 }
 _SF2 = {
-    "sow":     (1, 20, 1.0, False),
-    "delta_n": (21, 16, 2.0 ** -43, True),
-    "cuc":     (37, 18, 2.0 ** -31, True),
-    "m0":      (55, 32, 2.0 ** -31, True),
-    "ecc":     (87, 32, 2.0 ** -33, False),
-    "cus":     (119, 18, 2.0 ** -31, True),
-    "crc":     (137, 18, 2.0 ** -6, True),
-    "crs":     (155, 18, 2.0 ** -6, True),
-    "sqrt_a":  (173, 32, 2.0 ** -19, False),
-    "toe_msb": (205, 2, 1.0, False),
+    "sow":     (_SOW, 1.0, False),
+    "delta_n": (((43, 10), (61, 6)), 2.0 ** -43, True),
+    "cuc":     (((67, 16), (91, 2)), 2.0 ** -31, True),
+    "m0":      (((93, 20), (121, 12)), 2.0 ** -31, True),
+    "ecc":     (((133, 10), (151, 22)), 2.0 ** -33, False),
+    "cus":     (((181, 18),), 2.0 ** -31, True),
+    "crc":     (((199, 4), (211, 14)), 2.0 ** -6, True),
+    "crs":     (((225, 8), (241, 10)), 2.0 ** -6, True),
+    "sqrt_a":  (((251, 12), (271, 20)), 2.0 ** -19, False),
+    "toe_msb": (((291, 2),), 1.0, False),
 }
 _SF3 = {
-    "sow":       (1, 20, 1.0, False),
-    "toe_lsb":   (21, 15, 1.0, False),   # toe = (msb<<15 | lsb) * 2^3 s
-    "i0":        (36, 32, 2.0 ** -31, True),
-    "cic":       (68, 18, 2.0 ** -31, True),
-    "omega_dot": (86, 24, 2.0 ** -43, True),
-    "cis":       (110, 18, 2.0 ** -31, True),
-    "idot":      (128, 14, 2.0 ** -43, True),
-    "omega0":    (142, 32, 2.0 ** -31, True),
-    "omega":     (174, 32, 2.0 ** -31, True),
+    "sow":       (_SOW, 1.0, False),
+    "toe_lsb":   (((43, 10), (61, 5)), 1.0, False),
+    "i0":        (((66, 17), (91, 15)), 2.0 ** -31, True),
+    "cic":       (((106, 7), (121, 11)), 2.0 ** -31, True),
+    "omega_dot": (((132, 11), (151, 13)), 2.0 ** -43, True),
+    "cis":       (((164, 9), (181, 9)), 2.0 ** -31, True),
+    "idot":      (((190, 13), (211, 1)), 2.0 ** -43, True),
+    "omega0":    (((212, 21), (241, 11)), 2.0 ** -31, True),
+    "omega":     (((252, 11), (271, 21)), 2.0 ** -31, True),
 }
 SUBFRAME_FIELDS = {1: _SF1, 2: _SF2, 3: _SF3}
-# payload = 8 bits riding in word 1's free data slots + 9 x 22 bits in
-# words 2-10 (the ICD packs SOW across word 1 + word 2 the same way)
-_PAYLOAD_BITS = 8 + 9 * 22
+
+# data-bit positions (0-based) available for packing: word 1 bits 18-25
+# after the FraID (SOW msb slot), words 2-10 bits base..base+21
+_FRAID_SEG = ((16, 3),)
 
 
-def _pack_payload(layout: dict, fields: dict) -> np.ndarray:
-    bits = np.zeros(_PAYLOAD_BITS, dtype=np.int64)
-    for name, (start, n, scale, signed) in layout.items():
+def _pack_fields(frame: np.ndarray, layout: dict, fields: dict) -> None:
+    for name, (segs, scale, signed) in layout.items():
+        n = sum(ln for _, ln in segs)
         raw = int(round(fields.get(name, 0.0) / scale))
         if signed:
             lim = 1 << (n - 1)
             raw = max(-lim, min(lim - 1, raw)) & ((1 << n) - 1)
         else:
             raw = max(0, min((1 << n) - 1, raw))
-        for i in range(n):
-            bits[start - 1 + i] = (raw >> (n - 1 - i)) & 1
-    return bits
+        pos = 0
+        for start, ln in segs:
+            for i in range(ln):
+                frame[start - 1 + i] = (raw >> (n - 1 - pos - i)) & 1
+            pos += ln
 
 
-def _unpack_payload(layout: dict, bits: np.ndarray) -> dict:
+def _unpack_fields(layout: dict, frame: np.ndarray) -> dict:
     fields = {}
-    for name, (start, n, scale, signed) in layout.items():
+    for name, (segs, scale, signed) in layout.items():
+        n = sum(ln for _, ln in segs)
         raw = 0
-        for i in range(n):
-            raw = (raw << 1) | int(bits[start - 1 + i])
+        for start, ln in segs:
+            for i in range(ln):
+                raw = (raw << 1) | int(frame[start - 1 + i])
         if signed and raw >> (n - 1):
             raw -= 1 << n
         fields[name] = raw * scale
     return fields
 
 
+def _frame_to_tx(frame: np.ndarray) -> np.ndarray:
+    """De-interleaved data frame -> transmitted 300 bits: compute BCH
+    parity per word, interleave words 2-10 (ICD 5.1.3)."""
+    tx = np.empty(SUBFRAME_BITS, dtype=np.int64)
+    w1 = bch_encode(frame[15:26])
+    tx[:15] = frame[:15]
+    tx[15:30] = w1
+    for w in range(1, 10):
+        b0 = 30 * w
+        cw1 = bch_encode(frame[b0:b0 + 11])
+        cw2 = bch_encode(frame[b0 + 11:b0 + 22])
+        tx[b0:b0 + 30] = interleave_word(cw1, cw2)
+    return tx
+
+
+def _tx_to_frame(bits300: np.ndarray):
+    """Transmitted bits -> (ok, de-interleaved BCH-corrected frame):
+    the reference decode_word/decode_subframe reassembly."""
+    b = np.asarray(bits300, dtype=np.int64)
+    frame = np.zeros(SUBFRAME_BITS, dtype=np.int64)
+    frame[:15] = b[:15]
+    ok, w1 = bch_decode(b[15:30])
+    frame[15:26] = w1
+    frame[26:30] = b[26:30]
+    for w in range(1, 10):
+        b0 = 30 * w
+        cw1, cw2 = deinterleave_word(b[b0:b0 + 30])
+        o1, d1 = bch_decode(cw1)
+        o2, d2 = bch_decode(cw2)
+        ok = ok and o1 and o2
+        frame[b0:b0 + 11] = d1
+        frame[b0 + 11:b0 + 22] = d2
+    return ok, frame
+
+
 def pack_subframe(fra_id: int, fields: dict) -> np.ndarray:
-    """-> 300 transmitted bits: word 1 (preamble + FraID + BCH'd tail) +
-    words 2-10 (interleaved double-BCH, 22 payload bits each)."""
-    payload = _pack_payload(SUBFRAME_FIELDS.get(fra_id, {}), fields)
-    out = np.empty(SUBFRAME_BITS, dtype=np.int64)
-    w1_data = np.zeros(11, dtype=np.int64)
-    w1_data[0:4] = payload[0:4]
+    """D1 subframe -> 300 transmitted bits (preamble + FraID + fields at
+    their ICD positions + per-word BCH parity + interleaving)."""
+    frame = np.zeros(SUBFRAME_BITS, dtype=np.int64)
+    frame[:11] = PREAMBLE
     for i in range(3):
-        w1_data[4 + i] = (fra_id >> (2 - i)) & 1
-    w1_data[7:11] = payload[4:8]
-    w1 = bch_encode(w1_data)
-    out[:11] = PREAMBLE
-    out[11:15] = 0                      # rev bits
-    out[15:30] = w1
-    for w in range(9):
-        chunk = payload[8 + w * 22:8 + (w + 1) * 22]
-        out[30 * (w + 1):30 * (w + 2)] = interleave_word(
-            bch_encode(chunk[:11]), bch_encode(chunk[11:22]))
-    return out
+        frame[15 + i] = (fra_id >> (2 - i)) & 1
+    _pack_fields(frame, SUBFRAME_FIELDS.get(fra_id, {"sow": _SF1["sow"]}),
+                 fields)
+    return _frame_to_tx(frame)
 
 
 def unpack_subframe(bits300: np.ndarray):
     """-> (ok, fra_id, fields); BCH-corrects every word."""
-    b = np.asarray(bits300, dtype=np.int64)
-    ok1, w1_data = bch_decode(b[15:30])
-    fra_id = 0
-    for i in range(3):
-        fra_id = (fra_id << 1) | int(w1_data[4 + i])
-    payload = np.zeros(_PAYLOAD_BITS, dtype=np.int64)
-    payload[0:4] = w1_data[0:4]
-    payload[4:8] = w1_data[7:11]
-    ok = ok1
-    for w in range(9):
-        cw1, cw2 = deinterleave_word(b[30 * (w + 1):30 * (w + 2)])
-        o1, d1 = bch_decode(cw1)
-        o2, d2 = bch_decode(cw2)
-        ok = ok and o1 and o2
-        payload[8 + w * 22:8 + w * 22 + 11] = d1
-        payload[8 + w * 22 + 11:8 + w * 22 + 22] = d2
-    fields = _unpack_payload(SUBFRAME_FIELDS.get(fra_id, {}), payload)
+    ok, frame = _tx_to_frame(bits300)
+    fra_id = int(frame[15]) << 2 | int(frame[16]) << 1 | int(frame[17])
+    fields = _unpack_fields(SUBFRAME_FIELDS.get(fra_id,
+                                                {"sow": _SF1["sow"]}),
+                            frame)
     return ok, fra_id, fields
 
 
@@ -384,42 +408,55 @@ D2_SECONDS_PER_BIT = 2e-3
 D2_FRAME_SECONDS = 3.0           # 5 subframes x 0.6 s
 D2_PAGES = 10
 
-# every page leads with SOW (of its own subframe's first bit) + Pnum.
-# Split fields keep the reference widths: a1 = 4+18, cuc = 14+4,
-# e = 10+22, cic = 10+8, i0 = 21+11, omega_dot = 19+5, omega = 27+5.
-_D2_HDR = {"sow": (1, 20, 1.0, False), "pnum": (21, 4, 1.0, False)}
+# D2 subframe-1 page layouts in the same RAW ICD coordinates
+# (Beidou_DNAV.h D2_* tables; split-field widths: a1 = 4+18, cuc = 14+4,
+# e = 10+22, cic = 10+8, i0 = 21+11, omega_dot = 19+5, omega = 27+5;
+# each page's *_lsb fields are read on the page AFTER the *_msb page,
+# beidou_dnav_navigation_message.cc d2_subframe_decoder cases).
+_D2_HDR = {"sow": (_SOW, 1.0, False), "pnum": (((43, 4),), 1.0, False)}
 _D2_PAGE = {
-    1: {"sat_h1": (25, 1, 1.0, False), "aodc": (26, 5, 1.0, False),
-        "urai": (31, 4, 1.0, False), "wn": (35, 13, 1.0, False),
-        "toc": (48, 17, 8.0, False), "tgd1": (65, 10, 1e-10, True)},
-    2: {"alpha0": (25, 8, 2.0 ** -30, True),
-        "alpha1": (33, 8, 2.0 ** -27, True),
-        "alpha2": (41, 8, 2.0 ** -24, True),
-        "alpha3": (49, 8, 2.0 ** -24, True),
-        "beta0": (57, 8, 2.0 ** 11, True),
-        "beta1": (65, 8, 2.0 ** 14, True),
-        "beta2": (73, 8, 2.0 ** 16, True),
-        "beta3": (81, 8, 2.0 ** 16, True)},
-    3: {"a0": (25, 24, 2.0 ** -33, True), "a1_msb": (49, 4, 1.0, False)},
-    4: {"a1_lsb": (25, 18, 1.0, False), "a2": (43, 11, 2.0 ** -66, True),
-        "aode": (54, 5, 1.0, False),
-        "delta_n": (59, 16, 2.0 ** -43, True),
-        "cuc_msb": (75, 14, 1.0, False)},
-    5: {"cuc_lsb": (25, 4, 1.0, False), "m0": (29, 32, 2.0 ** -31, True),
-        "cus": (61, 18, 2.0 ** -31, True), "e_msb": (79, 10, 1.0, False)},
-    6: {"e_lsb": (25, 22, 1.0, False),
-        "sqrt_a": (47, 32, 2.0 ** -19, False),
-        "cic_msb": (79, 10, 1.0, False)},
-    7: {"cic_lsb": (25, 8, 1.0, False), "cis": (33, 18, 2.0 ** -31, True),
-        "toe": (51, 17, 8.0, False), "i0_msb": (68, 21, 1.0, False)},
-    8: {"i0_lsb": (25, 11, 1.0, False), "crc": (36, 18, 2.0 ** -6, True),
-        "crs": (54, 18, 2.0 ** -6, True),
-        "omega_dot_msb": (72, 19, 1.0, False)},
-    9: {"omega_dot_lsb": (25, 5, 1.0, False),
-        "omega0": (30, 32, 2.0 ** -31, True),
-        "omega_msb": (62, 27, 1.0, False)},
-    10: {"omega_lsb": (25, 5, 1.0, False),
-         "idot": (30, 14, 2.0 ** -43, True)},
+    1: {"sat_h1": (((47, 1),), 1.0, False),
+        "aodc": (((48, 5),), 1.0, False),
+        "urai": (((61, 4),), 1.0, False),
+        "wn": (((65, 13),), 1.0, False),
+        "toc": (((78, 5), (91, 12)), 8.0, False),
+        "tgd1": (((103, 10),), 1e-10, True),
+        "tgd2": (((121, 10),), 1e-10, True)},
+    2: {"alpha0": (((47, 6), (61, 2)), 2.0 ** -30, True),
+        "alpha1": (((63, 8),), 2.0 ** -27, True),
+        "alpha2": (((71, 8),), 2.0 ** -24, True),
+        "alpha3": (((79, 4), (91, 4)), 2.0 ** -24, True),
+        "beta0": (((95, 8),), 2.0 ** 11, True),
+        "beta1": (((103, 8),), 2.0 ** 14, True),
+        "beta2": (((111, 2), (121, 6)), 2.0 ** 16, True),
+        "beta3": (((127, 8),), 2.0 ** 16, True)},
+    3: {"a0": (((101, 12), (121, 12)), 2.0 ** -33, True),
+        "a1_msb": (((133, 4),), 1.0, False)},
+    4: {"a1_lsb": (((47, 6), (61, 12)), 1.0, False),
+        "a2": (((73, 10), (91, 1)), 2.0 ** -66, True),
+        "aode": (((92, 5),), 1.0, False),
+        "delta_n": (((97, 16),), 2.0 ** -43, True),
+        "cuc_msb": (((121, 14),), 1.0, False)},
+    5: {"cuc_lsb": (((47, 4),), 1.0, False),
+        "m0": (((51, 2), (61, 22), (91, 8)), 2.0 ** -31, True),
+        "cus": (((99, 14), (121, 4)), 2.0 ** -31, True),
+        "e_msb": (((125, 10),), 1.0, False)},
+    6: {"e_lsb": (((47, 6), (61, 16)), 1.0, False),
+        "sqrt_a": (((77, 6), (91, 22), (121, 4)), 2.0 ** -19, False),
+        "cic_msb": (((125, 10),), 1.0, False)},
+    7: {"cic_lsb": (((47, 6), (61, 2)), 1.0, False),
+        "cis": (((63, 18),), 2.0 ** -31, True),
+        "toe": (((81, 2), (91, 15)), 8.0, False),
+        "i0_msb": (((106, 7), (121, 14)), 1.0, False)},
+    8: {"i0_lsb": (((47, 6), (61, 5)), 1.0, False),
+        "crc": (((66, 17), (91, 1)), 2.0 ** -6, True),
+        "crs": (((92, 18),), 2.0 ** -6, True),
+        "omega_dot_msb": (((110, 3), (121, 16)), 1.0, False)},
+    9: {"omega_dot_lsb": (((47, 5),), 1.0, False),
+        "omega0": (((52, 1), (61, 22), (91, 9)), 2.0 ** -31, True),
+        "omega_msb": (((100, 13), (121, 14)), 1.0, False)},
+    10: {"omega_lsb": (((47, 5),), 1.0, False),
+         "idot": (((52, 1), (61, 13)), 2.0 ** -43, True)},
 }
 
 
@@ -428,50 +465,28 @@ def _d2_layout(pnum: int) -> dict:
 
 
 def pack_d2_subframe(fra_id: int, fields: dict) -> np.ndarray:
-    """D2 subframe -> 300 bits.  Subframe 1 needs fields['pnum']; subframes
-    2-5 are SOW-only fillers here (reference decodes nothing from them,
+    """D2 subframe -> 300 transmitted bits.  Subframe 1 needs
+    fields['pnum']; subframes 2-5 are SOW-only fillers here (the
+    reference decodes nothing from them,
     beidou_dnav_navigation_message.cc:540-554)."""
     layout = (_d2_layout(int(fields.get("pnum", 0))) if fra_id == 1
               else _D2_HDR)
-    payload = _pack_payload(layout, fields)
-    out = np.empty(SUBFRAME_BITS, dtype=np.int64)
-    w1_data = np.zeros(11, dtype=np.int64)
-    w1_data[0:4] = payload[0:4]
+    frame = np.zeros(SUBFRAME_BITS, dtype=np.int64)
+    frame[:11] = PREAMBLE
     for i in range(3):
-        w1_data[4 + i] = (fra_id >> (2 - i)) & 1
-    w1_data[7:11] = payload[4:8]
-    out[:11] = PREAMBLE
-    out[11:15] = 0
-    out[15:30] = bch_encode(w1_data)
-    for w in range(9):
-        chunk = payload[8 + w * 22:8 + (w + 1) * 22]
-        out[30 * (w + 1):30 * (w + 2)] = interleave_word(
-            bch_encode(chunk[:11]), bch_encode(chunk[11:22]))
-    return out
+        frame[15 + i] = (fra_id >> (2 - i)) & 1
+    _pack_fields(frame, layout, fields)
+    return _frame_to_tx(frame)
 
 
 def unpack_d2_subframe(bits300: np.ndarray):
     """-> (ok, fra_id, pnum, fields)."""
-    b = np.asarray(bits300, dtype=np.int64)
-    ok1, w1_data = bch_decode(b[15:30])
-    fra_id = 0
-    for i in range(3):
-        fra_id = (fra_id << 1) | int(w1_data[4 + i])
-    payload = np.zeros(_PAYLOAD_BITS, dtype=np.int64)
-    payload[0:4] = w1_data[0:4]
-    payload[4:8] = w1_data[7:11]
-    ok = ok1
-    for w in range(9):
-        cw1, cw2 = deinterleave_word(b[30 * (w + 1):30 * (w + 2)])
-        o1, d1 = bch_decode(cw1)
-        o2, d2 = bch_decode(cw2)
-        ok = ok and o1 and o2
-        payload[8 + w * 22:8 + w * 22 + 11] = d1
-        payload[8 + w * 22 + 11:8 + w * 22 + 22] = d2
-    hdr = _unpack_payload(_D2_HDR, payload)
+    ok, frame = _tx_to_frame(bits300)
+    fra_id = int(frame[15]) << 2 | int(frame[16]) << 1 | int(frame[17])
+    hdr = _unpack_fields(_D2_HDR, frame)
     pnum = int(hdr["pnum"])
-    fields = _unpack_payload(_d2_layout(pnum) if fra_id == 1 else _D2_HDR,
-                             payload)
+    fields = _unpack_fields(_d2_layout(pnum) if fra_id == 1 else _D2_HDR,
+                            frame)
     return ok, fra_id, pnum, fields
 
 

@@ -46,11 +46,16 @@ def correlate_multitap(
     carrier_doppler_hz: jax.Array,     # [C] float32
     n_samples: jax.Array,              # [C] int32 integration length <= B
     fs: float,
+    table_oversample: int = 1,
 ) -> jax.Array:
     """Fused NCO + wipeoff + K-tap correlation.  Returns [C, K] complex64.
 
     Mirrors one do_correlation_step() of the reference
     (dll_pll_veml_tracking.cc:1037-1062) for all channels at once.
+
+    `table_oversample` > 1 selects band-limited sub-chip replica tables
+    (prn_codes.bandlimited_table_normalized, `table_oversample` entries
+    per chip): the lookup index becomes floor(chips * oversample).
     """
     c, b = blocks.shape
     n = jax.lax.broadcasted_iota(jnp.float32, (1, b), 1)       # [1, B]
@@ -67,8 +72,10 @@ def correlate_multitap(
     chips = (rem_code_phase_chips[:, None]
              + code_freq_chips[:, None] * n * inv_fs)           # [C, B]
     l = codes.shape[1]
-    idx = jnp.floor(chips[:, None, :]
-                    + tap_offsets_chips[None, :, None]).astype(jnp.int32)
+    k_ovs = jnp.float32(table_oversample)
+    idx = jnp.floor((chips[:, None, :]
+                     + tap_offsets_chips[None, :, None])
+                    * k_ovs).astype(jnp.int32)
     idx = jnp.mod(idx, l)                                       # [C, K, B]
     code_vals = jnp.take_along_axis(
         codes[:, None, :], idx.reshape(c, -1)[:, None, :], axis=-1

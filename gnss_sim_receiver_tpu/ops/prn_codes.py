@@ -122,3 +122,57 @@ def boc11_subcarrier(fs: float, code_rate: float, n_samples: int,
     chips = n * (code_rate / fs) + chip_shift
     half = np.floor(chips * 2.0).astype(np.int64)
     return (1.0 - 2.0 * (half % 2)).astype(np.float32)
+
+
+def bandlimited_table(code: np.ndarray, fs: float, code_rate: float,
+                      oversample: int = 8) -> np.ndarray:
+    """Band-limited sub-chip replica table: the +-1 chip sequence filtered
+    to the receiver band |f| < fs/2 and tabulated at `oversample` points
+    per chip, phase-centered on the grid (entry j = waveform at chip
+    (j+0.5)/oversample).
+
+    Why: a zero-order-hold replica sampled at ~2 samples/chip has a
+    frozen edge-quantization pattern; correlating it against an incoming
+    signal whose sub-sample code phase drifts (code Doppler) puts a
+    code-phase-dependent PRN-specific ripple on both the correlation
+    amplitude (~14%/sample) and the DLL lock point (decimeters) — the
+    "meter-level quantization ripple" noted in sim/signal_generator.py.
+    The band-limited table is what an ideal front end would correlate
+    with: amplitude and lock point invariant to sub-sample phase.  Both
+    tracking kernels (per-epoch gather and block-FFT) build their
+    replicas from this one table so their pseudorange conventions agree
+    (RTK double differences cancel exactly across kernel handoffs).
+    """
+    code = np.asarray(code, np.float64)
+    l = len(code)
+    k = int(oversample)
+    hi = np.repeat(code, k)
+    spec = np.fft.rfft(hi)
+    # bin b = b cycles per code period = b / L cycles/chip;
+    # keep |f| < fs/2 <-> cycles/chip < fs / (2*code_rate)
+    bmax = int(np.floor(fs / (2.0 * code_rate) * l))
+    spec[bmax + 1:] = 0.0
+    # no sub-grid phase shift: floor() lookups of this grid against a
+    # floor-quantized incoming signal are empirically UNBIASED (mean
+    # lock-point offset < 1e-3 chip, spread ~5e-3) — the half-cell delay
+    # conventions of replica and signal cancel; adding a half-cell
+    # "midpoint" shift re-introduces a 1/(2K)-chip bias (measured)
+    return np.fft.irfft(spec, n=l * k).astype(np.float32)
+
+
+def bandlimited_table_normalized(code: np.ndarray, fs: float,
+                                 code_rate: float, n_period_samples: int,
+                                 oversample: int = 8) -> np.ndarray:
+    """bandlimited_table scaled so the fs-sampled replica's energy over
+    one code period equals n_period_samples — the aligned correlation
+    amplitude then matches the +-1 zero-order-hold convention
+    (prompt ~ n_samples * signal amplitude), keeping C/N0 and prompt
+    magnitudes continuous across table conventions."""
+    bl = bandlimited_table(code, fs, code_rate, oversample)
+    idx = np.floor(np.arange(n_period_samples, dtype=np.float64)
+                   * (code_rate / fs) * oversample).astype(np.int64) \
+        % len(bl)
+    e = float((bl[idx].astype(np.float64) ** 2).sum())
+    if e <= 0.0:
+        return bl
+    return (bl * np.sqrt(n_period_samples / e)).astype(np.float32)

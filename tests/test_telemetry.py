@@ -71,3 +71,28 @@ def test_incremental_processing_matches_batch(scenario):
     tail_a, tail_b = a[-500:], b[-500:]
     assert not np.isnan(tail_a).any()
     np.testing.assert_allclose(tail_a, tail_b, rtol=0, atol=1e-9)
+
+
+def test_tlm_crc_stats_counters(tmp_path):
+    """TlmCrcStats (reference tlm_crc_stats.cc role): CRC outcomes are
+    counted per channel and dumped."""
+    from gnss_sim_receiver_tpu.models.telemetry import TlmCrcStats, _note_crc
+
+    class _D:
+        pass
+
+    d = _D()
+    d.crc_stats = TlmCrcStats()
+    for ok in (True, True, False, True):
+        _note_crc(d, 0, ok)
+    _note_crc(d, 3, False)
+    assert d.crc_stats.total[0] == 4 and d.crc_stats.ok[0] == 3
+    assert abs(d.crc_stats.rate(0) - 0.75) < 1e-12
+    assert d.crc_stats.rate(3) == 0.0
+    p = tmp_path / "crc.txt"
+    d.crc_stats.write(p)
+    lines = p.read_text().splitlines()
+    assert lines[0].split() == ["channel", "ok", "total", "rate"]
+    assert "0 3 4 0.7500" in lines[1]
+    # decoder without stats attached: no-op
+    _note_crc(_D(), 0, True)

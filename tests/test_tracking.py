@@ -24,12 +24,16 @@ def test_single_channel_convergence():
     bits = (np.random.default_rng(3).integers(0, 2, 1500) * 2 - 1).astype(np.int8)
     sat = SatelliteSignalParams(prn=7, cn0_db_hz=48.0, doppler_hz=1250.0,
                                 delay_chips=300.5, nav_bits=bits)
-    x = generate_baseband([sat], FS, int(FS * 1.1), noise=True, seed=1)
+    x = generate_baseband([sat], FS, int(FS * 2.6), noise=True, seed=1)
     trk = TrackingEngine(TrackingConf(fs=FS), prns=[7])
     code_start = int(round(300.5 * FS / CODE_RATE))
     # seed with a 100 Hz Doppler error (half an acquisition bin)
     trk.start_tracking(0, 1250.0 + 100.0, code_start)
-    outs = trk.process(x, 0, 1000)
+    # 2.5 s: the 2nd-order 2 Hz DLL's pull-in transient (up to ~0.07
+    # chips at the worst sub-sample delay phase) decays over ~2 s —
+    # assertions below sample the SETTLED loop (the transient itself is
+    # characterized in test_tracking_block.py / RTK settle weighting)
+    outs = trk.process(x, 0, 2500)
 
     dop = outs["carrier_doppler_hz"][:, 0]
     assert abs(dop[-200:].mean() - 1250.0) < 5.0
