@@ -19,20 +19,34 @@ import time
 import numpy as np
 
 
-def _timed_reps(jax, fn, reps):
-    """Median-of-reps wall time.  The per-call cost at these shapes is
-    0.2-0.5 ms while the remote-attached TPU transport adds multi-100-us
-    jitter per dispatch; 3-rep means swung +-40% across rounds (the r1->r3
-    'regression' was measurement noise — r4 re-measured r1-era code and
-    the current code within noise of each other).  Median of 10 is stable
-    to a few percent."""
-    ts = []
+def _timed_chained(jax, jnp, np_, step, state0, reps, sync_of):
+    """Honest wall time per call on the axon-attached TPU.
+
+    jax.block_until_ready does NOT synchronize execution on the axon
+    backend (it returns once the async future resolves, while the device
+    still computes) — r1-r3 scan numbers measured dispatch latency, not
+    the kernel.  The only reliable barrier is a device->host pull of
+    data that DEPENDS on the result.  To amortize the ~30 ms transport
+    latency, `reps` calls are serialized through their carried state and
+    ONE tiny dependent slice is pulled at the end; per-call time =
+    (total - pull latency) / reps.
+
+    step(state) -> (new_state, out); sync_of(out) -> small float array.
+    """
+    st = state0
+    st, out = step(st)
+    np_.asarray(sync_of(out))          # warm + full sync
+    t0 = time.perf_counter()
+    st = state0
     for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2], ts[0]
+        st, out = step(st)
+    np_.asarray(sync_of(out))          # one dependent pull
+    total = time.perf_counter() - t0
+    # measure the bare pull latency to subtract
+    t1 = time.perf_counter()
+    np_.asarray(sync_of(out))
+    lat = time.perf_counter() - t1
+    return max(total - lat, 1e-9) / reps
 
 
 def _bench_tracking(trk, prn_codes, jax, jnp, fs, n_channels, n_epochs,
@@ -47,12 +61,13 @@ def _bench_tracking(trk, prn_codes, jax, jnp, fs, n_channels, n_epochs,
                                      ).astype(jnp.float32),
     )
 
-    def run():
-        _, outs = trk.track_chunk(conf, n_epochs, codes, taps, x, state)
-        return outs["prompt"]
+    def step(st):
+        new_state, outs = trk.track_chunk(conf, n_epochs, codes, taps, x,
+                                          st)
+        return st, outs     # same input state each rep (steady shapes)
 
-    jax.block_until_ready(run())
-    dt, _ = _timed_reps(jax, run, reps)
+    dt = _timed_chained(jax, jnp, np, step, state, reps,
+                        lambda o: jnp.abs(o["prompt"][-1]))
     realtime = n_epochs * conf.t_epoch_nominal_s / dt
     return realtime, n_channels * fs * realtime / 1e6
 
@@ -80,13 +95,13 @@ def _bench_tracking_blocks(jax, jnp, fs, n_channels, n_blocks, e_block,
                                      ).astype(jnp.float32),
     )
 
-    def run():
-        _, outs = tb.track_chunk_blocks(conf, n_blocks, e_block, codes_fft,
-                                        taps, x, state)
-        return outs["prompt"]
+    def step(st):
+        new_state, outs = tb.track_chunk_blocks(conf, n_blocks, e_block,
+                                                codes_fft, taps, x, st)
+        return st, outs
 
-    jax.block_until_ready(run())
-    dt, _ = _timed_reps(jax, run, reps)
+    dt = _timed_chained(jax, jnp, _np, step, state, reps,
+                        lambda o: jnp.abs(o["prompt"][-1]))
     realtime = n_blocks * e_block * conf.t_epoch_nominal_s / dt
     return realtime, n_channels * fs * realtime / 1e6
 

@@ -71,7 +71,18 @@ def main(argv=None) -> int:
                                     systems=sys_b,
                                     base_ecef_m=np.asarray(base_pos))
     t0 = time.time()
-    run = rx.process_array(x, base_observations=base_obs)
+    if (src.implementation == "File_Timestamp_Signal_Source"
+            and src.timestamp_filename):
+        from gnss_sim_receiver_tpu.utils.sample_io import read_timestamp_file
+        sess = rx.start_session(base_observations=base_obs)
+        sc, wk, tow = read_timestamp_file(src.timestamp_filename)
+        sess.attach_time_tags(sc, wk, tow,
+                              clock_offset_ms=src.timestamp_clock_offset_ms)
+        sess.attach_array(x)
+        sess.run_to_end()
+        run = sess.result()
+    else:
+        run = rx.process_array(x, base_observations=base_obs)
     dt = time.time() - t0
     if run.rtk_solutions:
         n_fix = sum(1 for _, s in run.rtk_solutions if s.fixed)

@@ -128,6 +128,10 @@ class SourceSpec:
     item_type: str
     sampling_frequency: float
     samples: int
+    # File_Timestamp_Signal_Source side-channel
+    # (adapters/file_timestamp_signal_source.cc)
+    timestamp_filename: str = ""
+    timestamp_clock_offset_ms: float = 0.0
 
 
 def source_from_config(config: Configuration) -> SourceSpec:
@@ -139,6 +143,10 @@ def source_from_config(config: Configuration) -> SourceSpec:
         sampling_frequency=float(
             config.property("SignalSource.sampling_frequency", 0)),
         samples=config.property("SignalSource.samples", 0),
+        timestamp_filename=config.property(
+            "SignalSource.timestamp_filename", ""),
+        timestamp_clock_offset_ms=float(config.property(
+            "SignalSource.timestamp_clock_offset_ms", 0.0)),
     )
 
 
@@ -241,15 +249,29 @@ def _pinned_channels(config: Configuration, offset: int, count: int) -> dict:
 
 
 def chains_from_config(config: Configuration) -> list[SignalChainConf]:
-    """All non-1C chains configured via Channels_<sig>.count."""
+    """All non-1C chains configured via Channels_<sig>.count.
+
+    Multi-band keys: ``Channels_<sig>.RF_channel_ID`` selects which RF
+    channel's stream the chain consumes (gnss_flowgraph.cc:1018-1019);
+    ``SignalSource.sample_rate_rf<id>`` (framework key) declares that RF
+    channel's fs, defaulting to internal_fs_sps.
+    ``GNSS-SDR.use_acquisition_resampler=true`` decimates each chain's
+    ACQUISITION path toward the per-signal optimal fs (~2 Msps for GPS
+    L1 C/A, GPS_L1_CA.h:53) while tracking stays at full rate
+    (gnss_flowgraph.cc:1028-1121)."""
     fs = float(config.property("GNSS-SDR.internal_fs_sps", 2_000_000))
     in_acq = config.property("Channels.in_acquisition", 0)
+    use_acq_resampler = str(config.property(
+        "GNSS-SDR.use_acquisition_resampler", "false")).lower() == "true"
     chains = []
     offset = config.property("Channels_1C.count", 0)
     for sig in ALL_SIGNALS[1:]:
         n = config.property(f"Channels_{sig}.count", 0)
         if n <= 0:
             continue
+        rf_id = int(config.property(f"Channels_{sig}.RF_channel_ID", 0))
+        rf_fs = float(config.property(f"SignalSource.sample_rate_rf{rf_id}",
+                                      fs))
         acq_impl, trk_impl = _check_impls(config, sig)
         if sig in ("1G", "2G"):
             # FDMA: one chain per occupied frequency slot
@@ -283,11 +305,19 @@ def chains_from_config(config: Configuration) -> list[SignalChainConf]:
                 remaining -= nc
                 chains.append(chain)
             continue
-        chain = _CHAIN_BUILDERS[sig](fs, n_channels=n)
+        chain = _CHAIN_BUILDERS[sig](rf_fs, n_channels=n)
+        chain.rf_channel_id = rf_id
         if in_acq:
             chain.max_acq_channels = min(in_acq, n)
         chain.acq = _acq_from_config(config, sig, chain.acq, acq_impl)
         chain.trk = _trk_from_config(config, sig, chain.trk, trk_impl)
+        if use_acq_resampler and sig == "1C":
+            # decimate acquisition toward GPS_L1_CA_OPT_ACQ_FS (2 Msps)
+            dec = max(1, int(rf_fs // 2_000_000))
+            if dec > 1:
+                chain.acq_decim = dec
+                chain.acq = dataclasses.replace(chain.acq,
+                                                fs_in=rf_fs / dec)
         chain.pinned = _pinned_channels(config, offset, n)
         offset += n
         chains.append(chain)
@@ -359,7 +389,11 @@ def receiver_conf_from_config(config: Configuration) -> ReceiverConf:
         if base_str:
             rtk_base = tuple(float(v) for v in base_str.split(","))
     in_acq = config.property("Channels.in_acquisition", 0)
+    # multi-band: per-RF-channel sampling rates gathered from the chains
+    rf_fs = {c.rf_channel_id: float(c.trk.fs) for c in chains
+             if c.rf_channel_id != 0}
     return ReceiverConf(
+        rf_fs=rf_fs,
         rtk=rtk, rtk_base_ecef_m=rtk_base,
         pinned_channels=_pinned_channels(config, 0, n_1c),
         fs=fs, prns=tuple(range(1, 33)), max_channels=max(n_1c, 1),

@@ -65,9 +65,16 @@ _HIST_KEYS = ("t", "tow", "dop", "ph", "cn0")
 
 class ObservablesEngine:
     def __init__(self, conf: ObsConf, n_channels: int,
-                 carrier_freq_hz=None):
+                 carrier_freq_hz=None, fs_per_channel=None):
         self.conf = conf
         self.n = n_channels
+        # per-channel sampling rate: multi-band front ends run each
+        # chain's tracker at its own fs (Channels_<sig>.RF_channel_ID);
+        # sample counters convert to TIME with the channel's own rate
+        # (the reference's Gnss_Synchro carries fs per channel)
+        self._fs = (np.asarray(fs_per_channel, np.float64)
+                    if fs_per_channel is not None
+                    else np.full(n_channels, conf.fs))
         # per-channel carrier wavelength for Hatch smoothing: the reference
         # smooths with each signal's own wavelength; a single global L1
         # lambda mis-aids L5/E5/E6/B3 channels
@@ -79,6 +86,14 @@ class ObservablesEngine:
         self.tick_step = int(round(conf.fs * conf.interval_ms / 1000.0))
         self.next_tick = self.tick_step
         self.t_rx_tow_ms: float | None = None
+        # GnssTime stream tags (File_Timestamp_Signal_Source role,
+        # gnss_sdr_timestamp.cc -> dll_pll_veml_tracking.cc:2031-2059 /
+        # hybrid_observables_gs.cc:672-695): when set, the common rx
+        # clock anchors to the capture's ABSOLUTE time instead of the
+        # decoded-TOW heuristic
+        self._tag_samples = None
+        self._tag_tow_ms = None
+        self.week: int | None = None
         # per-channel epoch history: numpy arrays, bulk-appended per chunk
         self.hist = [{k: np.empty(0) for k in _HIST_KEYS}
                      for _ in range(n_channels)]
@@ -86,6 +101,14 @@ class ObservablesEngine:
         self._sm_last_pr = np.zeros(n_channels)
         self._sm_last_ph = np.zeros(n_channels)
         self._sm_lock = np.zeros(n_channels, bool)
+
+    def set_time_tags(self, samplecounts, tow_ms, week=None) -> None:
+        """Attach GnssTime tags: absolute (week, tow) at given capture
+        sample counters."""
+        self._tag_samples = np.asarray(samplecounts, np.float64)
+        self._tag_tow_ms = np.asarray(tow_ms, np.float64)
+        if week is not None:
+            self.week = int(week)
 
     def reset_channel(self, c: int) -> None:
         """Clear a channel's history (satellite reassignment)."""
@@ -102,7 +125,9 @@ class ObservablesEngine:
         Python work."""
         sc = np.asarray(track_outs["sample_counter"], np.float64)
         cps = np.asarray(track_outs["code_phase_samples"], np.float64)
-        t_all = (sc - cps) / self.conf.fs
+        n_cols = sc.shape[1]
+        fs_cols = self._fs[channel_offset:channel_offset + n_cols]
+        t_all = (sc - cps) / fs_cols[None, :]
         ph = np.asarray(track_outs["acc_phase_cycles"], np.float64)
         # half-cycle correction when the PLL is known to be locked 180 deg
         # off (telemetry frame sync matched an inverted preamble) — the
@@ -210,6 +235,16 @@ class ObservablesEngine:
         gnss_valid = valid.copy()
         if 0 <= self.conf.ps_channel < self.n:
             gnss_valid[self.conf.ps_channel] = False
+        if self.t_rx_tow_ms is None and self._tag_samples is not None:
+            # absolute-time anchor from the capture's GnssTime tags:
+            # nearest preceding tag + sample-clock extrapolation (ticks
+            # routinely fall beyond the last tag)
+            ts, tw = self._tag_samples, self._tag_tow_ms
+            i = int(np.clip(np.searchsorted(ts, float(tick_sample)) - 1,
+                            0, len(ts) - 1))
+            self.t_rx_tow_ms = float(
+                tw[i] + (float(tick_sample) - ts[i])
+                / self.conf.fs * 1000.0)
         if self.t_rx_tow_ms is None:
             if not gnss_valid.any():
                 return None   # cannot anchor rx time to a ps-only epoch

@@ -7,13 +7,23 @@ pseudorange + carrier-phase observables estimating
 
     x = [rover ECEF (3), c*clock (m), float ambiguity per satellite]
 
+    x = [rover ECEF (3), c*clock (m), zenith trop delay (m),
+         float ambiguity per satellite]
+
 Static mode pins the position states (no process noise); kinematic adds a
 random-walk.  The carrier ambiguities stay float (rtklib's default PPP is
-float too; PPP-AR needs network products out of scope here).  Dual-
-frequency iono-free combination and precise-product handling are not
-modeled: the filter consumes the framework's single-frequency
-observables, which matches the simulator (no iono) and degrades
-gracefully on real data fed through the iono hooks.
+float too; PPP-AR needs network products out of scope here).
+
+Dual-frequency: when the same satellite is tracked on two carriers
+(multi-band front end), its measurements are combined into the
+first-order-iono-free combination (rtklib_ppp.cc L_LC/P_LC roles):
+    P_IF = (f1^2 P1 - f2^2 P2) / (f1^2 - f2^2)
+with a single float ambiguity on the IF carrier.  Single-band satellites
+fall back to their raw measurements.
+
+Troposphere: a residual zenith delay state with a 1/sin(el) mapping
+(rtklib_ppp.cc trop_model est-ZTD role); the hydrostatic a priori can be
+removed upstream via the PVT Saastamoinen hook.
 
 Sign convention: ObservationEpoch.carrier_phase_cycles is the chain's
 accumulated PLL phase (~ -range/lambda); negated at ingestion exactly
@@ -43,6 +53,10 @@ class PppConf:
     clk_process_noise_m: float = 100.0   # per-epoch clock random walk
     amb_init_var: float = 1e4
     min_sats: int = 4
+    # residual zenith tropospheric delay state (m): random walk +
+    # initial variance (rtklib prcopt tropopt=TROPOPT_EST role)
+    ztd_process_noise_m: float = 1e-4
+    ztd_init_sigma_m: float = 0.3
 
 
 @dataclasses.dataclass
@@ -69,23 +83,23 @@ class PppEngine:
         keep = [k for k in self.amb_keys if k in keys]
         idx_old = {k: i for i, k in enumerate(self.amb_keys)}
         all_keys = keep + [k for k in keys if k not in idx_old]
-        n = 4 + len(all_keys)
+        n = 5 + len(all_keys)
         x = np.zeros(n)
         P = np.zeros((n, n))
-        x[:4] = self.x[:4]
-        P[:4, :4] = self.P[:4, :4]
+        x[:5] = self.x[:5]
+        P[:5, :5] = self.P[:5, :5]
         for i, k in enumerate(all_keys):
             if k in idx_old:
-                j = 4 + idx_old[k]
-                x[4 + i] = self.x[j]
-                P[4 + i, :4] = self.P[j, :4]
-                P[:4, 4 + i] = self.P[:4, j]
+                j = 5 + idx_old[k]
+                x[5 + i] = self.x[j]
+                P[5 + i, :5] = self.P[j, :5]
+                P[:5, 5 + i] = self.P[:5, j]
                 for i2, k2 in enumerate(all_keys):
                     if k2 in idx_old:
-                        P[4 + i, 4 + i2] = self.P[j, 4 + idx_old[k2]]
+                        P[5 + i, 5 + i2] = self.P[j, 5 + idx_old[k2]]
             else:
-                x[4 + i] = amb0.get(k, 0.0)
-                P[4 + i, 4 + i] = self.conf.amb_init_var
+                x[5 + i] = amb0.get(k, 0.0)
+                P[5 + i, 5 + i] = self.conf.amb_init_var
         self.x, self.P, self.amb_keys = x, P, all_keys
 
     def update(self, obs, prns, ephemerides, systems=None,
@@ -103,15 +117,18 @@ class PppEngine:
         if self.x is None:
             if x0 is None:
                 return bad
-            self.x = np.concatenate([np.asarray(x0, np.float64), [0.0]])
-            self.P = np.diag([100.0 ** 2] * 3 + [1e6 ** 2])
+            self.x = np.concatenate([np.asarray(x0, np.float64),
+                                     [0.0, 0.0]])
+            self.P = np.diag([100.0 ** 2] * 3
+                             + [1e6 ** 2, conf.ztd_init_sigma_m ** 2])
             self.amb_keys = []
         if conf.mode == "kinematic":
             self.P[:3, :3] += np.eye(3) * conf.pos_process_noise_ms ** 2
         self.P[3, 3] += conf.clk_process_noise_m ** 2
+        self.P[4, 4] += conf.ztd_process_noise_m ** 2
 
         rov = self.x[:3]
-        meas = {}
+        raw = {}
         for c in range(n_ch):
             if not obs.valid[c]:
                 continue
@@ -136,13 +153,33 @@ class PppEngine:
             lam = lam_all[c]
             code = obs.pseudorange_m[c] + C * clk       # clock-corrected
             carr = -lam * obs.carrier_phase_cycles[c] + C * clk
-            meas[key] = (p, code, carr, lam)
+            raw.setdefault(key, []).append((p, code, carr, lam, el))
+
+        # dual-frequency: iono-free combination per satellite when two
+        # carriers are present (rtklib_ppp.cc L_LC/P_LC); the ambiguity
+        # state then rides on the IF "wavelength" (kept as the f1 lambda
+        # scale for conditioning — it is float anyway)
+        meas = {}
+        for key, items in raw.items():
+            if len(items) >= 2:
+                items = sorted(items, key=lambda m: m[3])   # by lambda
+                (p1, code1, carr1, lam1, el1) = items[0]
+                (p2, code2, carr2, lam2, el2) = items[-1]
+                f1 = C / lam1
+                f2 = C / lam2
+                a1 = f1 * f1 / (f1 * f1 - f2 * f2)
+                a2 = -f2 * f2 / (f1 * f1 - f2 * f2)
+                meas[key] = (p1, a1 * code1 + a2 * code2,
+                             a1 * carr1 + a2 * carr2, lam1, el1, True)
+            else:
+                p, code, carr, lam, el = items[0]
+                meas[key] = (p, code, carr, lam, el, False)
         if len(meas) < conf.min_sats:
             return bad
 
         amb0 = {k: (m[2] - m[1]) / m[3] for k, m in meas.items()}
         self._ensure_states(list(meas), amb0)
-        amb_idx = {k: 4 + i for i, k in enumerate(self.amb_keys)}
+        amb_idx = {k: 5 + i for i, k in enumerate(self.amb_keys)}
 
         n_m = len(meas)
         n_x = len(self.x)
@@ -150,22 +187,29 @@ class PppEngine:
         z = np.zeros(2 * n_m)
         Rd = np.zeros(2 * n_m)
         rov = self.x[:3]
-        for i, (k, (p, code, carr, lam)) in enumerate(meas.items()):
+        for i, (k, (p, code, carr, lam, el, is_if)) in \
+                enumerate(meas.items()):
             d = rov - p
             r = np.linalg.norm(d)
             e = d / r
-            # carrier row: carr = r + clk + lam*N
-            z[i] = carr - (r + self.x[3]
+            # residual zenith trop delay, 1/sin(el) mapping
+            mf = 1.0 / max(np.sin(el), 0.05)
+            # IF combination amplifies noise ~3x (GPS L1/L5)
+            nf = 3.0 if is_if else 1.0
+            # carrier row: carr = r + clk + mf*ztd + lam*N
+            z[i] = carr - (r + self.x[3] + mf * self.x[4]
                            + lam * self.x[amb_idx[k]])
             H[i, :3] = e
             H[i, 3] = 1.0
+            H[i, 4] = mf
             H[i, amb_idx[k]] = lam
-            Rd[i] = conf.carrier_sigma_m ** 2
+            Rd[i] = (nf * conf.carrier_sigma_m) ** 2
             # code row
-            z[n_m + i] = code - (r + self.x[3])
+            z[n_m + i] = code - (r + self.x[3] + mf * self.x[4])
             H[n_m + i, :3] = e
             H[n_m + i, 3] = 1.0
-            Rd[n_m + i] = conf.code_sigma_m ** 2
+            H[n_m + i, 4] = mf
+            Rd[n_m + i] = (nf * conf.code_sigma_m) ** 2
 
         S = H @ self.P @ H.T + np.diag(Rd)
         K = np.linalg.solve(S, H @ self.P).T

@@ -52,6 +52,18 @@ class SignalChainConf:
     # prompt correlator; conf.trk.track_pilot selects the mode)
     data_code_provider: object = None
 
+    # multi-band front end: which RF channel's conditioned stream this
+    # chain consumes (Channels_<sig>.RF_channel_ID, gnss_flowgraph.cc
+    # :1018-1019); each RF channel may run at its own fs (spec.trk.fs /
+    # spec.acq.fs_in must match ReceiverConf.rf_fs[rf_channel_id])
+    rf_channel_id: int = 0
+    # acquisition-only resampler: integer decimation of this chain's
+    # stream for the ACQUISITION path only
+    # (GNSS-SDR.use_acquisition_resampler, gnss_flowgraph.cc:1028-1121 +
+    # pcps_acquisition.cc:683-696 delay rescaling); tracking stays at
+    # full fs.  1 = off.
+    acq_decim: int = 1
+
     freq_slot: int = 0                 # GLONASS FDMA slot k (signal "1G")
     day_base_s: float = 0.0            # GLONASS day base for tk anchoring
     # chain-local channel index -> PRN pinning (Channel<i>.satellite)
@@ -355,7 +367,11 @@ def glonass_l1_chain(fs: float, prns, freq_slot: int = 0,
         carrier_freq_hz=sig.carrier_freq_hz + freq_slot * df,
         doppler_bias_hz=freq_slot * df,
         early_late_space_chips=0.5, lock_rectify=True,
-        enable_fll_pullin=True, fll_pullin_epochs=150)
+        # 400-epoch FLL blend: the meander's 100 Hz data lines sit inside
+        # the Costas capture range — a short FLL hand-over can leave a
+        # ~100 Hz residual that false-locks onto a line (r4 regression
+        # test: tests/test_glonass_chain.py)
+        enable_fll_pullin=True, fll_pullin_epochs=400)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
         signal="1G", system="GLONASS", prns=prns,
@@ -388,7 +404,11 @@ def glonass_l2_chain(fs: float, prns, freq_slot: int = 0,
         carrier_freq_hz=sig.carrier_freq_hz + freq_slot * df,
         doppler_bias_hz=freq_slot * df,
         early_late_space_chips=0.5, lock_rectify=True,
-        enable_fll_pullin=True, fll_pullin_epochs=150)
+        # 400-epoch FLL blend: the meander's 100 Hz data lines sit inside
+        # the Costas capture range — a short FLL hand-over can leave a
+        # ~100 Hz residual that false-locks onto a line (r4 regression
+        # test: tests/test_glonass_chain.py)
+        enable_fll_pullin=True, fll_pullin_epochs=400)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
         assist_wait=True,
@@ -432,6 +452,10 @@ class ReceiverConf:
     # the bit-sync time limit, dll_pll_veml_tracking.cc:1808-1815).
     # 0 disables.
     tlm_timeout_s: float = 30.0
+    # multi-band front end: rf_channel_id -> sampling rate of that RF
+    # channel's stream (attach_arrays / Multichannel_File_Signal_Source
+    # role); unlisted RF channels run at `fs`
+    rf_fs: dict = dataclasses.field(default_factory=dict)
     chains: tuple = ()                # extra SignalChainConfs beyond GPS L1;
     # set gps_chain=False to drop the implicit GPS L1 chain entirely
     gps_chain: bool = True
@@ -532,7 +556,7 @@ class _ChainRt:
             data_code_provider=spec.data_code_provider)
         self.tlm = spec.telemetry_decoder([0] * n)
         self.nominal = spec.trk.nominal_epoch_samples
-        self.margin = spec.trk.block_size + 64
+        self.margin = self.trk._read_margin()
         self.epoch_base = [0] * n
         self.acq_engines = {}
         self.done = 0
@@ -646,16 +670,22 @@ class ReceiverSession:
              for rt in chains])
         # the observables history must hold everything ONE chunk can push
         # before ticks are pulled — at the largest adaptive chunk
+        def _fs_of(spec):
+            return float(conf.rf_fs.get(spec.rf_channel_id, conf.fs))
         for rt in chains:
-            epoch_ms = rt.nominal / conf.fs * 1000.0
+            epoch_ms = rt.nominal / _fs_of(rt.spec) * 1000.0
             decim = (1 if self.collect else
                      max(1, int(min(conf.obs.interval_ms, 90.0)
                                 // epoch_ms)))
             rows = int(conf.chunk_epochs * self.max_mult // decim) + 256
             if conf.obs.history_len < rows:
                 conf.obs.history_len = rows
+        fs_map = np.concatenate(
+            [np.full(rt.spec.n_channels, _fs_of(rt.spec))
+             for rt in chains])
         self.obs_eng = ObservablesEngine(conf.obs, n_channels=n_total,
-                                         carrier_freq_hz=self.freq_map)
+                                         carrier_freq_hz=self.freq_map,
+                                         fs_per_channel=fs_map)
         self.ephemerides = dict(ephemerides or {})
         self.solutions = []
         self.obs_epochs = []
@@ -730,13 +760,20 @@ class ReceiverSession:
             self.pvt_ekf = PvtEkfOrbital(ekf_conf)
         self.ekf_solutions = []
 
-        # input state: absolute sample indexing is shared by both modes
+        # input state: absolute sample indexing is shared by both modes.
+        # Multi-band: one stream per RF channel (attach_arrays), each at
+        # conf.rf_fs[rf] (default conf.fs); chains read the stream named
+        # by spec.rf_channel_id.  Cursor/tick bookkeeping runs in the
+        # PRIMARY (conf.fs) sample domain and converts per chain.
         self._array_mode = False
-        self._x = None                # array mode: full capture (host/dev)
+        self._x_rf = {}               # array mode: rf id -> capture
+        self._len_rf = {}             # rf id -> length (samples @ rf fs)
         self._buf = np.zeros(0, np.complex64)   # streaming ring buffer
         self._base = 0                # absolute index of _buf[0]
         self._end_abs = 0             # absolute capture length so far
-        self.cursor = 0               # acquisition head (absolute sample)
+        #                               (PRIMARY-fs samples)
+        self.cursor = 0               # acquisition head (abs PRIMARY
+        #                               sample)
         self.chunk_mult = 1
         self._standby = False
         # per-channel telemetry fail-safe state (global channel index)
@@ -764,26 +801,71 @@ class ReceiverSession:
             # device->host decimation stride for the observable planes:
             # one kept epoch per observable tick (capped at 90 ms spacing
             # so the observables history interpolation stays bracketed)
-            epoch_ms = rt.nominal / conf.fs * 1000.0
+            epoch_ms = rt.nominal / _fs_of(rt.spec) * 1000.0
             rt.decim = (1 if self.collect else
                         max(1, int(min(conf.obs.interval_ms, 90.0)
                                    // epoch_ms)))
 
     # -- input ----------------------------------------------------------------
 
+    def attach_time_tags(self, samplecounts, weeks, tow_ms,
+                         clock_offset_ms: float = 0.0) -> None:
+        """File_Timestamp_Signal_Source side-channel: GnssTime tags in
+        the PRIMARY RF channel's sample domain anchor the receiver clock
+        to the capture's absolute time (utils.sample_io timetag files;
+        gnss_sdr_timestamp.cc role)."""
+        tow = np.asarray(tow_ms, np.float64) + float(clock_offset_ms)
+        self.obs_eng.set_time_tags(np.asarray(samplecounts, np.float64),
+                                   tow,
+                                   week=int(np.asarray(weeks)[0]))
+
     def attach_array(self, x) -> None:
         """One-shot mode: the whole capture (host np.ndarray or a
         device-resident jax.Array, e.g. the device signal generator's
-        output)."""
+        output) on RF channel 0."""
+        self.attach_arrays({0: x})
+
+    def attach_arrays(self, streams: dict) -> None:
+        """Multi-band one-shot mode: rf_channel_id -> capture, each at
+        conf.rf_fs[rf] (the reference's Multichannel_File_Signal_Source /
+        per-RF-channel conditioner, gnss_flowgraph.cc:1008-1136).  All
+        streams must start at the same instant (coherent front end)."""
         from gnss_sim_receiver_tpu.utils import xfer
-        if isinstance(x, np.ndarray):
-            self._x = xfer.device_put_complex(
-                np.ascontiguousarray(x, dtype=np.complex64))
-        else:
-            self._x = x
+        for rf, x in streams.items():
+            if isinstance(x, np.ndarray):
+                x = xfer.device_put_complex(
+                    np.ascontiguousarray(x, dtype=np.complex64))
+            self._x_rf[int(rf)] = x
+            self._len_rf[int(rf)] = len(x)
+        missing = {rt.spec.rf_channel_id for rt in self.chains} \
+            - set(self._x_rf)
+        if missing:
+            raise ValueError(f"no stream for RF channel(s) {missing}")
         self._array_mode = True
-        self._end_abs = len(x)
+        # primary-domain end: the shortest stream in TIME
+        self._end_abs = int(min(
+            self._len_rf[rf] / self._rf_fs(rf) for rf in self._x_rf)
+            * self.conf.fs)
         self._recompute_totals()
+
+    def _rf_fs(self, rf: int) -> float:
+        return float(self.conf.rf_fs.get(rf, self.conf.fs))
+
+    def _chain_fs(self, rt) -> float:
+        return self._rf_fs(rt.spec.rf_channel_id)
+
+    def _to_chain(self, rt, primary_sample: int) -> int:
+        """PRIMARY-fs absolute sample -> this chain's sample domain."""
+        f = self._chain_fs(rt)
+        if f == self.conf.fs:
+            return int(primary_sample)
+        return int(primary_sample * (f / self.conf.fs))
+
+    def _to_primary(self, rt, chain_sample: float) -> int:
+        f = self._chain_fs(rt)
+        if f == self.conf.fs:
+            return int(chain_sample)
+        return int(chain_sample * (self.conf.fs / f))
 
     def feed(self, samples: np.ndarray) -> None:
         """Streaming mode: append conditioned samples, process whatever
@@ -955,11 +1037,15 @@ class ReceiverSession:
 
     def _recompute_totals(self) -> None:
         for rt in self.chains:
-            rt.total = max((self._end_abs - rt.margin) // rt.nominal - 2, 0)
+            if self._array_mode:
+                end_rt = self._len_rf[rt.spec.rf_channel_id]
+            else:
+                end_rt = self._to_chain(rt, self._end_abs)
+            rt.total = max((end_rt - rt.margin) // rt.nominal - 2, 0)
 
     def _chunk_n(self, rt) -> int:
         return int(round(self.chunk_s * self.chunk_mult
-                         / (rt.nominal / self.conf.fs)))
+                         / (rt.nominal / self._chain_fs(rt))))
 
     def _ready(self, final: bool) -> bool:
         live = [rt for rt in self.chains if rt.done < rt.total]
@@ -979,17 +1065,18 @@ class ReceiverSession:
                 break   # data-starved (a late-started channel needs more
                 #         samples than the buffered totals suggest)
 
-    def _acq_input(self):
-        """(array-like, base) for PcpsAcquisitionEngine.acquire_from."""
+    def _acq_input(self, rt):
+        """(array-like, base) for PcpsAcquisitionEngine.acquire_from,
+        in the chain's own sample domain."""
         if self._array_mode:
-            return self._x, 0
+            return self._x_rf[rt.spec.rf_channel_id], 0
         return self._buf, self._base
 
-    def _window(self):
+    def _window(self, rt):
         """(samples, x_abs_start) covering every active channel position
-        for TrackingEngine.process_begin."""
+        for TrackingEngine.process_begin (chain sample domain)."""
         if self._array_mode:
-            return self._x, 0
+            return self._x_rf[rt.spec.rf_channel_id], 0
         return self._buf, self._base
 
     def _trim(self) -> None:
@@ -1071,11 +1158,28 @@ class ReceiverSession:
                             sc_rate=spec.sc_rate)
                         rt.acq_engines[prns_search] = acq_eng
                     need = acq_eng.n_samples_needed
-                    acq_x, acq_base = self._acq_input()
-                    if self.cursor + need > end_abs:
+                    acq_x, acq_base = self._acq_input(rt)
+                    dec = max(1, int(spec.acq_decim))
+                    cur_rt = self._to_chain(rt, self.cursor)
+                    end_rt = (self._len_rf[spec.rf_channel_id]
+                              if self._array_mode
+                              else self._to_chain(rt, end_abs))
+                    if cur_rt + need * dec > end_rt:
                         continue
-                    if is_assist:
-                        start = self.cursor - acq_base
+                    if dec > 1:
+                        # acquisition-only resampler: mean-pool decimation
+                        # of just the needed slice; tracking stays at the
+                        # chain's full fs and delays rescale by `dec`
+                        # (gnss_flowgraph.cc:1028-1121,
+                        # pcps_acquisition.cc:683-696)
+                        sl = acq_x[cur_rt - acq_base:
+                                   cur_rt - acq_base + need * dec]
+                        import jax.numpy as _jnp
+                        xd = _jnp.mean(_jnp.asarray(sl).reshape(-1, dec),
+                                       axis=1)
+                        res = acq_eng.acquire(xd, samplestamp=0)
+                    elif is_assist:
+                        start = cur_rt - acq_base
                         res = acq_eng.acquire_assisted(
                             acq_x, start, np.asarray(centers))
                         for k, c in enumerate(group):
@@ -1085,7 +1189,7 @@ class ReceiverSession:
                     else:
                         # fused search: one dispatch, one packed pull
                         res = acq_eng.acquire_from(acq_x,
-                                                   self.cursor - acq_base)
+                                                   cur_rt - acq_base)
                     for k, c in enumerate(group):
                         mgr.on_acq_result(c, bool(res.detected[k]),
                                           float(res.doppler_hz[k]))
@@ -1096,10 +1200,18 @@ class ReceiverSession:
                             quiet = False
                             prn = mgr.channels[c].prn
                             rt.trk.set_channel_prn(c, prn)
+                            if dec > 1:
+                                # decimated-grid delay -> full-rate chain
+                                # samples (+ mean-pool group delay)
+                                start_abs = int(round(
+                                    cur_rt
+                                    + res.delay_samples[k] * dec
+                                    + 0.5 * (dec - 1)))
+                            else:
+                                start_abs = int(acq_base + res.samplestamp
+                                                + res.delay_samples[k])
                             rt.trk.start_tracking(
-                                c, float(res.doppler_hz[k]),
-                                int(acq_base + res.samplestamp
-                                    + res.delay_samples[k]))
+                                c, float(res.doppler_hz[k]), start_abs)
                             rt.tlm.reset_channel(
                                 c, prn, epoch_base=rt.epoch_base[c])
                             self.obs_eng.reset_channel(rt.offset + c)
@@ -1118,8 +1230,11 @@ class ReceiverSession:
                 continue
             # late-acquired channels shift the chain's window: only as
             # many epochs as fit before the stream end
+            end_rt = (self._len_rf[spec.rf_channel_id]
+                      if self._array_mode
+                      else self._to_chain(rt, end_abs))
             n = min(chunk_n, rt.total - rt.done,
-                    rt.trk.epochs_that_fit(end_abs))
+                    rt.trk.epochs_that_fit(end_rt))
             if 0 < n < chunk_n:
                 if not final:
                     continue   # wait for more data before eating the tail
@@ -1140,7 +1255,7 @@ class ReceiverSession:
             rt.done += n
             progressed = True
             advanced = True
-            win, win_base = self._window()
+            win, win_base = self._window(rt)
             # block kernel once every tracking channel is through pull-in
             # (pilot/secondary chains need sync margin on top)
             need = rt.spec.trk.fll_pullin_epochs + 1000
@@ -1275,7 +1390,7 @@ class ReceiverSession:
                             and not self._tow_seen[g]
                             and self._trk_start_abs[g] >= 0
                             and (sc_last[c] - self._trk_start_abs[g])
-                            / conf.fs > conf.tlm_timeout_s):
+                            / self._chain_fs(rt) > conf.tlm_timeout_s):
                         # no TOW in time: telemetry never synced (covers
                         # the bit-sync limit too) — recycle the channel
                         quiet = False
@@ -1286,8 +1401,9 @@ class ReceiverSession:
                 outs.get("valid_ungated", outs["valid"])[-1])
             if valid_cols.any():
                 up_to = int(outs["sample_counter"][-1][valid_cols].min())
-                tick_bounds.append(up_to)
-                self.cursor = max(self.cursor, up_to - rt.margin)
+                tick_bounds.append(self._to_primary(rt, up_to))
+                self.cursor = max(self.cursor,
+                                  self._to_primary(rt, up_to - rt.margin))
 
         # --- observables + PVT ----------------------------------------------
         _t2 = _time.perf_counter()

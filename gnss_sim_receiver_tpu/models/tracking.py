@@ -893,10 +893,24 @@ class TrackingEngine:
             return 0
         return int(self.abs_start[active].max())
 
+    def _read_margin(self) -> int:
+        """Samples a chunk may read past its last epoch: the larger of
+        the per-epoch correlator block and the block-FFT kernel's window
+        (+guards).  Using the block-capable margin EVERYWHERE keeps chunk
+        sizing identical between batch and streaming sessions, so the
+        kernel choice (use_blocks) never flips on buffer-end proximity
+        and the two modes stay numerically identical."""
+        m = self.conf.block_size + 64
+        if (self.conf.tracking_mode == "dll_pll"
+                and self.conf.extend_correlation_symbols == 1):
+            from gnss_sim_receiver_tpu.models import tracking_block as tb
+            m = max(m, tb.block_fft_size(self.conf) + 256 + 64)
+        return m
+
     def epochs_that_fit(self, stream_len: int) -> int:
         """How many epochs every active channel can run without reading
         past `stream_len` samples (worst-case epoch length nominal+2)."""
-        return max(0, int((stream_len - self.conf.block_size - 64
+        return max(0, int((stream_len - self._read_margin()
                            - self.max_position())
                           // (self.conf.nominal_epoch_samples + 2)))
 

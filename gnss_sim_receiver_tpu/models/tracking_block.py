@@ -50,12 +50,31 @@ from gnss_sim_receiver_tpu.ops import correlator, discriminators
 from gnss_sim_receiver_tpu.ops import loop_filters as lf
 
 
+def _next_5smooth(n: int) -> int:
+    """Smallest 5-smooth (2^a 3^b 5^c) integer >= n — XLA's FFT handles
+    these radices efficiently; the next power of two can be ~2x larger."""
+    best = 1 << int(np.ceil(np.log2(n)))
+    p5 = 1
+    while p5 < best:
+        p3 = p5
+        while p3 < best:
+            p2 = p3
+            while p2 < n:
+                p2 *= 2
+            best = min(best, p2)
+            p3 *= 3
+        p5 *= 5
+    return best
+
+
 def block_fft_size(conf: TrackingConf) -> int:
-    """FFT length: window must hold one code period at any lag in
-    [0, S0) -> NFFT >= 2*S0 + guard."""
+    """FFT length: the DLL parks each epoch's replica lag near the
+    128-sample guard (drift within a block is < 1 sample), so the window
+    needs one code period + guard + tap/drift margin — NOT 2x the period.
+    Halving NFFT halves the kernel's FFT/phasor/contraction HBM traffic,
+    which is what bounds its throughput."""
     s0 = conf.nominal_epoch_samples
-    n = 2 * s0 + 64
-    return 1 << int(np.ceil(np.log2(n)))
+    return _next_5smooth(s0 + 2 * 128 + 64)
 
 
 def code_spectra(conf: TrackingConf, code_tables, oversample: int = 8):
@@ -211,13 +230,23 @@ def track_chunk_blocks(conf: TrackingConf, n_blocks: int, e_block: int,
         # code-phase-dependent lock-point bias.  The exact phasor is the
         # band-limited shift of the sampled sequences: its only artifact
         # is the deterministic few-percent edge-sampling ripple that the
-        # time-domain resampler exhibits too.  (One cos/sin instead of
-        # two — also cheaper.)
-        lags = lag[:, :, None] + tap_samps[:, None, :]         # [C, E, K]
-        ang = (two_pi * f_bins[None, None, None, :]
-               * lags[..., None] / jnp.float32(nfft))
-        p = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
-        corr = jnp.einsum("cef,cekf->cek", y, p) / jnp.float32(nfft)
+        # time-domain resampler exhibits too.
+        #
+        # FACTORED: e^{j2pi f (lag+tap)/N} = lag phasor [C,E,F] x tap
+        # phasor [C,K,F] — materializing the joint [C,E,K,F] phasor
+        # (24 MB/block at 12ch) made HBM traffic the kernel's bottleneck;
+        # the factored form is ~5x less traffic and the tap contraction
+        # becomes an [E,F]x[F,K] matmul on the MXU.
+        ang_l = (two_pi * f_bins[None, None, :]
+                 * lag[..., None] / jnp.float32(nfft))         # [C, E, F]
+        pl = jax.lax.complex(jnp.cos(ang_l), jnp.sin(ang_l))
+        ang_t = (two_pi * f_bins[None, None, :]
+                 * tap_samps[..., None] / jnp.float32(nfft))   # [C, K, F]
+        pt = jax.lax.complex(jnp.cos(ang_t), jnp.sin(ang_t))
+        z = y * pl                                             # [C, E, F]
+        corr = jnp.einsum("cef,ckf->cek", z, pt,
+                          preferred_element_type=jnp.complex64) \
+            / jnp.float32(nfft)
 
         prompt = corr[:, :, prompt_i]                          # [C, E]
         early = corr[:, :, prompt_i - 1]
@@ -225,13 +254,13 @@ def track_chunk_blocks(conf: TrackingConf, n_blocks: int, e_block: int,
 
         # optional data-component prompt (track_pilot): correlate the
         # data code's spectrum at the PROMPT lag only (the per-epoch
-        # kernel's zero-tap dcorr, tracking.py _epoch_step)
+        # kernel's zero-tap dcorr, tracking.py _epoch_step); taps are
+        # centered so the prompt tap phasor is 1 — the lag phasor alone
+        # places the replica
         data_prompt = None
         if data_codes_fft is not None:
             yd = xf * data_codes_fft[:, None, :]               # [C, E, F]
-            data_prompt = jnp.einsum(
-                "cef,cef->ce", yd,
-                p[:, :, prompt_i, :]) / jnp.float32(nfft)
+            data_prompt = jnp.sum(yd * pl, axis=-1) / jnp.float32(nfft)
 
         # ---- secondary-code sync + wipeoff (pilot) ---------------------
         epoch_g = st.epoch[:, None] + jnp.arange(e_block)[None, :]

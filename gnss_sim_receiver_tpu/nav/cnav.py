@@ -269,10 +269,18 @@ class CnavDecoder:
         self.sym.extend(float(s) for s in soft)
         events = []
         while True:
+            base0, len0 = self.base, len(self.sym)
             ev = self._try_decode()
-            if ev is None:
+            if ev is not None:
+                events.append(ev)
+                continue
+            # a failed window scan still consumes the scanned region —
+            # keep sliding while the buffer holds another window.
+            # (Stopping at the first None starved large pushes: a
+            # receiver chunk of 10k+ epochs got ONE scan per chunk and
+            # never reached the message — fixed r4.)
+            if self.base == base0 and len(self.sym) == len0:
                 break
-            events.append(ev)
         return events
 
     def _decode_bits(self, arr: np.ndarray) -> np.ndarray:

@@ -485,9 +485,16 @@ class SbasMessageDecoder:
         self.sym.extend(float(s) for s in soft)
         events = []
         while True:
+            base0, len0 = self.base, len(self.sym)
             ev = self._try_decode()
             if ev is None:
-                break
+                # a failed window scan still consumes the scanned region;
+                # keep sliding while the buffer holds another window
+                # (stopping at the first None starved large pushes — the
+                # CnavDecoder r4 fix applies here identically)
+                if self.base == base0 and len(self.sym) == len0:
+                    break
+                continue
             if ev.msg_type == 9:
                 self.geo_nav = parse_mt9(ev.payload)
             events.append(ev)

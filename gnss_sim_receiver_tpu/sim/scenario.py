@@ -62,7 +62,8 @@ def build_static_scenario(ephemerides, rx_ecef, t_gps0: float,
                           duration_s: float, cn0_db_hz: float = 47.0,
                           elevation_mask_deg: float = 5.0,
                           n_frames: int | None = None,
-                          subframe_cycle=(1, 2, 3, 4, 5)
+                          subframe_cycle=(1, 2, 3, 4, 5),
+                          band: str = "L1"
                           ) -> list[SatelliteSignalParams]:
     """SatelliteSignalParams for every visible satellite of a static
     receiver.  t_gps0 must be a multiple of 6 (LNAV subframe grid; also a
@@ -89,18 +90,38 @@ def build_static_scenario(ephemerides, rx_ecef, t_gps0: float,
         d2 = (d[2] - 2.0 * d[1] + d[0]) / (duration_s / 2.0) ** 2
         d1 = (d[2] - d[0]) / duration_s - d2 * duration_s / 2.0
         f_c = constants.GPS_L1_FREQ_HZ   # == Galileo E1 carrier
-        if getattr(eph, "system", "GPS") == "Galileo":
+        code_dop = None
+        carrier_ref = None
+        if band == "L5":
+            # GPS L5 stream of the SAME constellation (dual-band front
+            # end): geometry identical, Doppler/phase on the L5 carrier,
+            # CNAV@50bps x NH10 per-epoch signs
+            if getattr(eph, "system", "GPS") != "GPS":
+                continue
+            from gnss_sim_receiver_tpu.nav import cnav
+            f_c = 1176.45e6
+            n_rep = int(np.ceil((duration_s + 24.0) / 18.0))
+            sym = cnav.symbols_for_ephemeris(eph, t_gps0,
+                                             n_repeats=n_rep, bps=50.0)
+            signs = cnav.l5i_epoch_signs(sym)
+            system, signal = "GPS", "L5"
+            nav_bits = signs.astype(np.int8)       # already +-1 per epoch
+            code_dop = -f_c * d1
+            carrier_ref = f_c
+        elif getattr(eph, "system", "GPS") == "Galileo":
             from gnss_sim_receiver_tpu.nav import inav
             n_rep = int(np.ceil((duration_s + 12.0)
                                 / (5 * inav.PAGE_SECONDS)))
             stream = inav.pages_for_ephemeris(eph, t0_gst_s=t_gps0,
                                               n_repeats=n_rep)
             system, signal = "Galileo", "1B"
+            nav_bits = (2 * stream - 1).astype(np.int8)
         else:
             stream = lnav.frames_for_ephemeris(
                 eph, t_gps0, n_frames=n_frames,
                 subframe_cycle=subframe_cycle)
             system, signal = "GPS", "1C"
+            nav_bits = (2 * stream - 1).astype(np.int8)
         sats.append(SatelliteSignalParams(
             prn=eph.prn, system=system, signal=signal,
             cn0_db_hz=cn0_db_hz,
@@ -112,5 +133,6 @@ def build_static_scenario(ephemerides, rx_ecef, t_gps0: float,
             # makes double-difference ambiguities non-integer (RTK)
             carrier_phase_rad=float(np.mod(-2.0 * np.pi * f_c * d0,
                                            2.0 * np.pi)),
-            nav_bits=(2 * stream - 1).astype(np.int8)))
+            code_doppler_hz=code_dop, carrier_ref_hz=carrier_ref,
+            nav_bits=nav_bits))
     return sats

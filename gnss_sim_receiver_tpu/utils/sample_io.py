@@ -59,3 +59,31 @@ def write_samples(path: str | Path, x: np.ndarray,
         return
     info = np.iinfo(dtype)
     np.clip(np.rint(x.real * scale), info.min, info.max).astype(dtype).tofile(path)
+
+
+# ---------------------------------------------------------------------------
+# File_Timestamp_Signal_Source side-channel (reference
+# signal_source/libs/gnss_sdr_timestamp.cc: binary records of
+# (uint64 samplecount, int32 week, int32 tow_ms) read alongside the
+# capture; the block turns them into GnssTime stream tags)
+# ---------------------------------------------------------------------------
+
+_TIMETAG_DTYPE = np.dtype([("samplecount", "<u8"), ("week", "<i4"),
+                           ("tow_ms", "<i4")])
+
+
+def write_timestamp_file(path, samplecounts, weeks, tow_ms) -> None:
+    """Write the reference's timetag side-file format."""
+    n = len(samplecounts)
+    arr = np.empty(n, _TIMETAG_DTYPE)
+    arr["samplecount"] = np.asarray(samplecounts, np.uint64)
+    arr["week"] = np.asarray(weeks, np.int32)
+    arr["tow_ms"] = np.asarray(tow_ms, np.int32)
+    arr.tofile(path)
+
+
+def read_timestamp_file(path):
+    """-> (samplecounts uint64, weeks int32, tow_ms int32) arrays."""
+    arr = np.fromfile(path, dtype=_TIMETAG_DTYPE)
+    return (arr["samplecount"].copy(), arr["week"].copy(),
+            arr["tow_ms"].copy())

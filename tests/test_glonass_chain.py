@@ -63,7 +63,7 @@ def test_glonass_l1_ca_end_to_end():
                         code_length_chips=SIG.code_length_chips,
                         carrier_freq_hz=SIG.carrier_freq_hz,
                         early_late_space_chips=0.5, lock_rectify=True,
-                        enable_fll_pullin=True, fll_pullin_epochs=150)
+                        enable_fll_pullin=True, fll_pullin_epochs=400)
     trk = TrackingEngine(conf, prns=[5], code_provider=_prov)
     trk.start_tracking(0, float(res.doppler_hz[0]),
                        int(res.samplestamp + res.delay_samples[0]))

@@ -93,3 +93,98 @@ def test_ppp_mode_routes_in_receiver():
     _, last = run.ppp_solutions[-1]
     err = np.linalg.norm(last.rx_ecef_m - np.asarray(truth))
     assert err < 10.0, err
+
+
+def test_ppp_iono_free_beats_single_frequency_ls():
+    """Dual-frequency iono-free PPP under a simulated ionosphere: the
+    PPP float (IF combination + ZTD state) converges below 0.5 m where
+    single-frequency LS carries meters of iono bias (VERDICT r3 #6
+    'done' criterion; rtklib_ppp.cc L_LC/P_LC + TROPOPT_EST roles)."""
+    import numpy as np
+
+    from gnss_sim_receiver_tpu.models.observables import ObservationEpoch
+    from gnss_sim_receiver_tpu.models.ppp import PppConf, PppEngine
+    from gnss_sim_receiver_tpu.models.pvt import PvtConf, solve_pvt
+    from gnss_sim_receiver_tpu.nav.ephemeris import make_sky_constellation
+    from gnss_sim_receiver_tpu.utils import geodesy
+
+    C = 299792458.0
+    f1, f5 = 1575.42e6, 1176.45e6
+    lam1, lam5 = C / f1, C / f5
+    t0 = 345600.0
+    rx_true = geodesy.llh_to_ecef(np.radians(40.0), np.radians(-75.0),
+                                  100.0)
+    ephs = {e.prn: e for e in make_sky_constellation(40.0, -75.0,
+                                                     toe=t0 + 600)[:7]}
+    prn_list = sorted(ephs)
+    n_sat = len(prn_list)
+    # channels: n_sat on L1 + n_sat on L5 (same satellites)
+    prns = prn_list + prn_list
+    systems = ["GPS"] * (2 * n_sat)
+    freqs = np.array([f1] * n_sat + [f5] * n_sat)
+
+    rng = np.random.default_rng(8)
+    # slant iono: per-satellite vertical delays 1.5-4 m at L1 (dispersive)
+    iono_l1 = rng.uniform(1.5, 4.0, n_sat)
+    trop_wet = 0.15                                  # residual ZTD [m]
+    amb = rng.integers(-50, 50, 2 * n_sat).astype(float)
+
+    ppp = PppEngine(PppConf(mode="static", code_sigma_m=0.7,
+                            carrier_sigma_m=0.004))
+    ls_errs = []
+    sol = None
+    for k in range(240):
+        t = t0 + 0.5 * k
+        pr = np.zeros(2 * n_sat)
+        ph = np.zeros(2 * n_sat)
+        tow = np.zeros(2 * n_sat)
+        for i, prn in enumerate(prn_list):
+            # light-time iteration: satellite state at TRANSMIT time,
+            # Earth-rotation (Sagnac) over the travel time — the
+            # solver's exact measurement model
+            tau = 0.07
+            for _ in range(3):
+                t_tx = t - tau
+                pos, clk = ephs[prn].sat_pos_clock(np.array([t_tx]))
+                ang = 7.2921151467e-5 * tau
+                rot = np.array([[np.cos(ang), np.sin(ang), 0.0],
+                                [-np.sin(ang), np.cos(ang), 0.0],
+                                [0.0, 0.0, 1.0]])
+                p_rot = rot @ pos[0]
+                tau = np.linalg.norm(p_rot - rx_true) / C
+            rng_m = tau * C
+            el, _ = geodesy.elevation_azimuth(rx_true, p_rot)
+            mf = 1.0 / max(np.sin(el), 0.05)
+            for j, (f, lam) in ((i, (f1, lam1)),
+                                (n_sat + i, (f5, lam5))):
+                iono = iono_l1[i] * (f1 / f) ** 2 * mf
+                r_obs = (rng_m + iono + trop_wet * mf - C * clk[0]
+                         + rng.normal(0.0, 0.5))
+                pr[j] = r_obs
+                # chain phase convention: accumulated PLL phase
+                # ~ -range/lambda (carrier iono has opposite sign)
+                ph_m = (rng_m - iono + trop_wet * mf - C * clk[0]
+                        + lam * amb[j] + rng.normal(0.0, 0.003))
+                ph[j] = -ph_m / lam
+                tow[j] = t_tx * 1000.0
+        ep = ObservationEpoch(
+            rx_time_s=t, tick_sample=0, valid=np.ones(2 * n_sat, bool),
+            pseudorange_m=pr, interp_tow_ms=tow,
+            carrier_doppler_hz=np.zeros(2 * n_sat),
+            carrier_phase_cycles=ph, cn0_db_hz=np.full(2 * n_sat, 45.0))
+        # single-frequency LS on the L1 channels only
+        ls = solve_pvt(ep, prns, ephs, PvtConf(), systems=systems,
+                       exclude_channels=tuple(range(n_sat, 2 * n_sat)))
+        if ls.valid:
+            ls_errs.append(np.linalg.norm(ls.rx_ecef_m - rx_true))
+        x0 = ls.rx_ecef_m if ls.valid else rx_true + 50.0
+        sol = ppp.update(ep, prns, ephs, systems=systems,
+                         carrier_freq_hz=freqs, x0=x0)
+    assert sol is not None and sol.valid
+    ppp_err = np.linalg.norm(sol.rx_ecef_m - rx_true)
+    ls_err = np.median(ls_errs)
+    assert ls_err > 1.0, f"LS unexpectedly clean: {ls_err:.2f} m"
+    assert ppp_err < 0.5, (f"PPP err {ppp_err:.3f} m "
+                           f"(LS {ls_err:.2f} m)")
+    # the ZTD state picked up the simulated wet delay
+    assert abs(ppp.x[4] - trop_wet) < 0.1, ppp.x[4]
