@@ -34,10 +34,40 @@ def main(argv=None) -> int:
     src = source_from_config(config)
     if args.signal_file:
         src.filename = args.signal_file
-    if src.implementation != "File_Signal_Source":
+    if src.implementation not in ("File_Signal_Source",
+                                  "File_Timestamp_Signal_Source"):
         print(f"signal source {src.implementation} not supported in this "
               "build; use File_Signal_Source", file=sys.stderr)
         return 2
+
+    # A-GNSS assistance (control_thread.cc assist_GNSS order: local XML
+    # first, then the network client)
+    assist_ephs = None
+    if str(config.property("GNSS-SDR.AGNSS_XML_enabled",
+                           "false")).lower() == "true":
+        from gnss_sim_receiver_tpu.nav.agnss_xml import \
+            read_gps_ephemeris_xml
+        xml_path = config.property("GNSS-SDR.AGNSS_gps_ephemeris_xml",
+                                   "gps_ephemeris.xml")
+        try:
+            assist_ephs = read_gps_ephemeris_xml(xml_path)
+            print(f"AGNSS: {len(assist_ephs)} ephemerides from "
+                  f"{xml_path}")
+        except Exception as e:
+            print(f"AGNSS XML load failed: {e}", file=sys.stderr)
+    if assist_ephs is None and str(config.property(
+            "GNSS-SDR.SUPL_gps_enabled", "false")).lower() == "true":
+        from gnss_sim_receiver_tpu.nav.supl_client import fetch_assistance
+        host = config.property("GNSS-SDR.SUPL_gps_ephemeris_server",
+                               "127.0.0.1")
+        port = int(config.property("GNSS-SDR.SUPL_gps_ephemeris_port",
+                                   7275))
+        try:
+            assist_ephs = fetch_assistance(host, port)
+            print(f"AGNSS: {len(assist_ephs)} ephemerides from "
+                  f"{host}:{port}")
+        except Exception as e:
+            print(f"network assistance failed: {e}", file=sys.stderr)
 
     count = -1
     if args.duration_s > 0:
@@ -74,7 +104,8 @@ def main(argv=None) -> int:
     if (src.implementation == "File_Timestamp_Signal_Source"
             and src.timestamp_filename):
         from gnss_sim_receiver_tpu.utils.sample_io import read_timestamp_file
-        sess = rx.start_session(base_observations=base_obs)
+        sess = rx.start_session(base_observations=base_obs,
+                                ephemerides=assist_ephs)
         sc, wk, tow = read_timestamp_file(src.timestamp_filename)
         sess.attach_time_tags(sc, wk, tow,
                               clock_offset_ms=src.timestamp_clock_offset_ms)
@@ -82,7 +113,8 @@ def main(argv=None) -> int:
         sess.run_to_end()
         run = sess.result()
     else:
-        run = rx.process_array(x, base_observations=base_obs)
+        run = rx.process_array(x, base_observations=base_obs,
+                               ephemerides=assist_ephs)
     dt = time.time() - t0
     if run.rtk_solutions:
         n_fix = sum(1 for _, s in run.rtk_solutions if s.fixed)

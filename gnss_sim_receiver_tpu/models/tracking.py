@@ -69,7 +69,14 @@ class TrackingConf:
     # tracking/gnuradio_blocks/kf_tracking.cc, state
     # [code phase, carrier phase, Doppler, Doppler rate],
     # kf_tracking.h:128-129)
-    tracking_mode: str = "dll_pll"     # "dll_pll" | "kf"
+    tracking_mode: str = "dll_pll"     # "dll_pll" | "kf" | "gaussian"
+    # "gaussian": the KF tracker with Bayesian (normal-inverse-Wishart)
+    # ADAPTIVE measurement-noise estimation from the innovation stream
+    # (reference gps_l1_ca_gaussian_tracking_cc + bayesian_estimation.cc
+    # update_sequential), carried through the scan with an exponential
+    # forgetting factor so the posterior tracks changing C/N0
+    bayes_forgetting: float = 0.995
+    bayes_nu0: float = 30.0
     # extended coherent integration (reference tracking states 2->3->4,
     # dll_pll_veml_tracking.cc:1789-2027 + extend_correlation_symbols):
     # after on-device bit sync, prompts are summed coherently over
@@ -150,6 +157,11 @@ class TrackState(NamedTuple):
     sec_synced: jnp.ndarray        # [C] bool
     sec_off: jnp.ndarray           # [C] int32: sec chip = sec[(e+off)%N]
     sec_polarity: jnp.ndarray      # [C] +-1 (180-deg phase lock flag)
+    # Bayesian adaptive measurement noise ("gaussian" mode): NIW
+    # posterior pseudo-counts and scale sums per channel
+    bayes_nu: jnp.ndarray          # [C] float32
+    bayes_psi_code: jnp.ndarray    # [C] float32 (chips^2 scale sum)
+    bayes_psi_carr: jnp.ndarray    # [C] float32 (cycles^2 scale sum)
 
 
 @partial(jax.jit, static_argnames=("n_channels",))
@@ -180,6 +192,9 @@ def _init_state(n_channels: int) -> TrackState:
         sec_buf=jnp.zeros((n_channels, N_SEC_MAX), jnp.float32),
         sec_synced=z(bool), sec_off=z(jnp.int32),
         sec_polarity=jnp.ones(n_channels, jnp.float32),
+        bayes_nu=jnp.full(n_channels, 30.0, jnp.float32),
+        bayes_psi_code=jnp.full(n_channels, 30.0 * 2e-3, jnp.float32),
+        bayes_psi_carr=jnp.full(n_channels, 30.0 * 5e-4, jnp.float32),
     )
 
 
@@ -221,6 +236,9 @@ def _arm_channel(s: TrackState, ch, doppler_hz, code_freq0) -> TrackState:
         sec_synced=s.sec_synced.at[ch].set(False),
         sec_off=s.sec_off.at[ch].set(0),
         sec_polarity=s.sec_polarity.at[ch].set(1.0),
+        bayes_nu=s.bayes_nu.at[ch].set(30.0),
+        bayes_psi_code=s.bayes_psi_code.at[ch].set(30.0 * 2e-3),
+        bayes_psi_carr=s.bayes_psi_carr.at[ch].set(30.0 * 5e-4),
     )
 
 
@@ -270,7 +288,8 @@ def _dll_pll_update(conf: TrackingConf, state: TrackState, prompt,
 
 
 def _kf_update(conf: TrackingConf, state: TrackState, prompt,
-               carr_err_cyc, code_err_chips, t_int):
+               carr_err_cyc, code_err_chips, t_int,
+               r_code=None, r_carr=None):
     """Joint code/carrier error-state Kalman tracker (reference kf_tracking,
     state [code phase err (chips), carrier phase err (cycles), Doppler
     (Hz), Doppler rate (Hz/s)], kf_tracking.h:128-176), vectorized over
@@ -294,8 +313,10 @@ def _kf_update(conf: TrackingConf, state: TrackState, prompt,
                              jnp.float32))
     p_pred = jnp.einsum("cij,cjk,clk->cil", f, state.kf_p, f) + q[None]
     # H = [[1,0,0,0],[0,1,0,0]] -> S = P[:2,:2] + R (2x2 explicit inverse)
-    r0 = jnp.float32(conf.kf_r_code_chips2)
-    r1 = jnp.float32(conf.kf_r_phase_cyc2)
+    r0 = (jnp.float32(conf.kf_r_code_chips2) if r_code is None
+          else r_code)
+    r1 = (jnp.float32(conf.kf_r_phase_cyc2) if r_carr is None
+          else r_carr)
     s00 = p_pred[:, 0, 0] + r0
     s01 = p_pred[:, 0, 1]
     s11 = p_pred[:, 1, 1] + r1
@@ -433,10 +454,30 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         code_err_chips = discriminators.dll_nc_e_minus_l_normalized(
             jnp.abs(early), jnp.abs(late),
             jnp.float32(conf.early_late_space_chips))
-    if conf.tracking_mode == "kf":
+    bayes_new = (state.bayes_nu, state.bayes_psi_code,
+                 state.bayes_psi_carr)
+    if conf.tracking_mode in ("kf", "gaussian"):
+        r_code = r_carr = None
+        if conf.tracking_mode == "gaussian":
+            # adaptive R from the NIW posterior (bayesian_estimation.cc
+            # update_sequential with exponential forgetting); floors keep
+            # the filter sane during transients
+            denom = jnp.maximum(state.bayes_nu - 2.0, 1.0)
+            r_code = jnp.maximum(state.bayes_psi_code / denom,
+                                 jnp.float32(1e-5))
+            r_carr = jnp.maximum(state.bayes_psi_carr / denom,
+                                 jnp.float32(1e-6))
         (carrier_doppler, code_freq, dtau_chips, dphi_cyc, kf_p_new,
          kf_fdot_new) = _kf_update(conf, state, prompt_w, carr_err_cyc,
-                                   code_err_chips, t_int)
+                                   code_err_chips, t_int,
+                                   r_code=r_code, r_carr=r_carr)
+        if conf.tracking_mode == "gaussian":
+            lam = jnp.float32(conf.bayes_forgetting)
+            bayes_new = (lam * state.bayes_nu + 1.0,
+                         lam * state.bayes_psi_code
+                         + code_err_chips * code_err_chips,
+                         lam * state.bayes_psi_carr
+                         + carr_err_cyc * carr_err_cyc)
         pll_new = lf.LoopFilterState(vel=carrier_doppler,
                                      acc=state.pll.acc)
         dll_new = state.dll
@@ -449,7 +490,7 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
 
     # --- extended coherent integration (states 2->3->4) --------------------
     k_ext = conf.extend_correlation_symbols
-    if k_ext > 1 and conf.tracking_mode != "kf":
+    if k_ext > 1 and conf.tracking_mode not in ("kf", "gaussian"):
         if len(conf.secondary_code) > 0:
             # pilot channel: the secondary code IS the symbol structure —
             # integration groups align to secondary-code boundaries after
@@ -613,6 +654,9 @@ def _epoch_step(conf: TrackingConf, codes: jax.Array, taps: jax.Array,
         sec_off=sel(sec_state_new["sec_off"], state.sec_off),
         sec_polarity=sel(sec_state_new["sec_polarity"],
                          state.sec_polarity),
+        bayes_nu=sel(bayes_new[0], state.bayes_nu),
+        bayes_psi_code=sel(bayes_new[1], state.bayes_psi_code),
+        bayes_psi_carr=sel(bayes_new[2], state.bayes_psi_carr),
     )
     outputs = {
         # telemetry consumes "prompt": in track_pilot mode that is the

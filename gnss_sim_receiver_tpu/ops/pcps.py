@@ -146,3 +146,125 @@ def cfar_threshold(pfa: float, n_cells: int, n_dwells: int = 1,
     dof = 2.0 * (1 if bit_transition else n_dwells)
     return float(2.0 * _sp_special.gammaincinv(
         dof, (1.0 - pfa) ** (1.0 / float(n_cells))))
+
+
+@partial(jax.jit, static_argnames=("fs", "fold"))
+def pcps_quicksync_grid(x_dwells: jax.Array, codes_sampled: jax.Array,
+                        dopplers: jax.Array, fs: float, fold: int):
+    """QuickSync folded acquisition
+    (pcps_quicksync_acquisition_cc.cc): the dwell and the local code are
+    both FOLDED by summing `fold` equal segments, shrinking the FFT by
+    `fold` (and the noise by averaging); the resulting grid resolves the
+    code phase MODULO N/fold.
+
+    Args:
+      x_dwells: [M, N]; codes_sampled: [C, N] float32 +-1 sampled codes
+      (time domain — folding happens here); dopplers: [D].
+    Returns [C, D, N//fold] magnitude grid.
+    """
+    m, n = x_dwells.shape
+    nf = n // fold
+    t = jnp.arange(n, dtype=jnp.float32) / jnp.float32(fs)
+    phase = -2.0 * jnp.pi * dopplers[:, None] * t[None, :]
+    carrier = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    wiped = x_dwells[:, None, :] * carrier[None, :, :]             # [M,D,N]
+    folded = wiped[..., : nf * fold].reshape(m, -1, fold, nf).sum(axis=2)
+    code_f = codes_sampled[:, : nf * fold].reshape(
+        codes_sampled.shape[0], fold, nf).sum(axis=1)              # [C, NF]
+    cfc = jnp.conj(jnp.fft.fft(code_f.astype(jnp.complex64), axis=-1))
+    spec = jnp.fft.fft(folded, axis=-1)                            # [M,D,NF]
+    prod = spec[:, None, :, :] * cfc[None, :, None, :]
+    corr = jnp.fft.ifft(prod, axis=-1)
+    mag = jnp.real(corr) ** 2 + jnp.imag(corr) ** 2
+    return jnp.sum(mag, axis=0)                                    # [C,D,NF]
+
+
+@partial(jax.jit, static_argnames=("fs", "fold"))
+def quicksync_resolve(x_dwell: jax.Array, codes_sampled: jax.Array,
+                      doppler_hz: jax.Array, delay_mod: jax.Array,
+                      fs: float, fold: int = 4):
+    """Resolve the QuickSync fold ambiguity: evaluate the FULL-length
+    correlation at the `fold` candidate delays (delay_mod + k*N/fold) for
+    each channel's detected Doppler and return the winning absolute
+    delay (pcps_quicksync_acquisition_cc.cc ambiguity resolution role).
+
+    x_dwell [N], codes_sampled [C, N], doppler_hz [C], delay_mod [C].
+    Returns ([C] delays, [C] magnitudes)."""
+    c, n = codes_sampled.shape
+    nf = n // fold
+    t = jnp.arange(n, dtype=jnp.float32) / jnp.float32(fs)
+    ph = -2.0 * jnp.pi * doppler_hz[:, None] * t[None, :]
+    wiped = x_dwell[None, :] * jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    cand = delay_mod[:, None] + nf * jnp.arange(fold)[None, :]     # [C, K]
+
+    def corr_at(ch_wiped, code, d):
+        rolled = jnp.roll(code, d)
+        v = jnp.sum(ch_wiped * rolled)
+        return jnp.abs(v)
+
+    mags = jax.vmap(
+        lambda w, code, ds: jax.vmap(lambda d: corr_at(w, code, d))(ds)
+    )(wiped, codes_sampled, cand)                                  # [C, K]
+    k = jnp.argmax(mags, axis=1)
+    return (jnp.take_along_axis(cand, k[:, None], axis=1)[:, 0],
+            jnp.take_along_axis(mags, k[:, None], axis=1)[:, 0])
+
+
+@partial(jax.jit, static_argnames=("fs",))
+def pcps_cccwsr_grid(x_dwells: jax.Array, code_data_fft_conj: jax.Array,
+                     code_pilot_fft_conj: jax.Array,
+                     dopplers: jax.Array, fs: float):
+    """Coherent Channel Combining With Sign Recovery (E1 CBOC data+pilot,
+    pcps_cccwsr_acquisition_cc.cc): correlate the dwell against the data
+    and pilot codes separately, then combine coherently under BOTH
+    relative-sign hypotheses and keep the larger — recovering the
+    unknown data/pilot sign instead of wasting half the power.
+
+    Returns [C, D, N] magnitude grid max(|d+p|^2, |d-p|^2) summed over
+    dwells."""
+    m, n = x_dwells.shape
+    t = jnp.arange(n, dtype=jnp.float32) / jnp.float32(fs)
+    phase = -2.0 * jnp.pi * dopplers[:, None] * t[None, :]
+    carrier = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    wiped = x_dwells[:, None, :] * carrier[None, :, :]
+    spec = jnp.fft.fft(wiped, axis=-1)
+    cd = jnp.fft.ifft(spec[:, None, :, :]
+                      * code_data_fft_conj[None, :, None, :], axis=-1)
+    cp = jnp.fft.ifft(spec[:, None, :, :]
+                      * code_pilot_fft_conj[None, :, None, :], axis=-1)
+    plus = jnp.abs(cd + cp) ** 2
+    minus = jnp.abs(cd - cp) ** 2
+    return jnp.sum(jnp.maximum(plus, minus), axis=0)
+
+
+@partial(jax.jit, static_argnames=("fs", "caf_bins"))
+def pcps_e5a_noncoherent_iq_grid(x_dwells: jax.Array,
+                                 code_i_fft_conj: jax.Array,
+                                 code_q_fft_conj: jax.Array,
+                                 dopplers: jax.Array, fs: float,
+                                 caf_bins: int = 0):
+    """Galileo E5a non-coherent I/Q acquisition with optional CAF
+    Doppler-axis filtering
+    (galileo_e5a_noncoherent_iq_acquisition_caf_cc.cc): |corr_I|^2 +
+    |corr_Q|^2 accumulated over dwells; with caf_bins > 0 the grid is
+    smoothed along Doppler by a (2*caf_bins+1)-bin boxcar (the CAF
+    filter's sidelobe-averaging role)."""
+    m, n = x_dwells.shape
+    t = jnp.arange(n, dtype=jnp.float32) / jnp.float32(fs)
+    phase = -2.0 * jnp.pi * dopplers[:, None] * t[None, :]
+    carrier = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    wiped = x_dwells[:, None, :] * carrier[None, :, :]
+    spec = jnp.fft.fft(wiped, axis=-1)
+    ci = jnp.fft.ifft(spec[:, None, :, :]
+                      * code_i_fft_conj[None, :, None, :], axis=-1)
+    cq = jnp.fft.ifft(spec[:, None, :, :]
+                      * code_q_fft_conj[None, :, None, :], axis=-1)
+    grid = jnp.sum(jnp.abs(ci) ** 2 + jnp.abs(cq) ** 2, axis=0)
+    if caf_bins > 0:
+        k = 2 * caf_bins + 1
+        kern = jnp.ones(k, jnp.float32) / k
+        grid = jax.vmap(  # convolve along the Doppler axis per channel
+            lambda g: jax.vmap(
+                lambda col: jnp.convolve(col, kern, mode="same"),
+                in_axes=1, out_axes=1)(g))(grid)
+    return grid

@@ -1,0 +1,124 @@
+"""Acquisition variants (SURVEY §2.5): QuickSync folded search,
+CCCWSR coherent data+pilot combining with sign recovery, and the E5a
+non-coherent I/Q + CAF grid."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from gnss_sim_receiver_tpu import signals
+from gnss_sim_receiver_tpu.ops import pcps, prn_codes
+from gnss_sim_receiver_tpu.sim import SatelliteSignalParams, generate_baseband
+
+FS = 2_000_000.0
+CODE_RATE = 1.023e6
+
+
+def _gps_dwells(prn=7, dop=1500.0, delay_chips=300.0, cn0=45.0, m=2,
+                seed=3):
+    sat = SatelliteSignalParams(prn=prn, cn0_db_hz=cn0, doppler_hz=dop,
+                                delay_chips=delay_chips,
+                                nav_bits=np.ones(50, np.int8))
+    n = int(FS * 1e-3)
+    x = generate_baseband([sat], FS, (m + 1) * n, noise=True, seed=seed)
+    return jnp.asarray(x[: m * n].reshape(m, n)), n
+
+
+def test_quicksync_folded_acquisition():
+    """QuickSync detects at 1/fold the FFT size; the resolver recovers
+    the absolute delay (pcps_quicksync_acquisition_cc roles)."""
+    fold = 4
+    delay_chips = 612.25
+    x_dwells, n = _gps_dwells(delay_chips=delay_chips, cn0=48.0)
+    code = prn_codes.sample_code(prn_codes.gps_l1_ca_code(7), FS,
+                                 CODE_RATE, n)
+    codes = jnp.asarray(code[None].astype(np.float32))
+    dops = jnp.asarray(pcps.doppler_grid(5000.0, 250.0))
+    grid = pcps.pcps_grid(x_dwells, jnp.asarray(
+        np.conj(np.fft.fft(code))[None].astype(np.complex64)), dops, FS)
+    g = pcps.pcps_quicksync_grid(x_dwells, codes, dops, FS, fold)
+    assert g.shape == (1, len(dops), n // fold)
+    c, d, l = np.unravel_index(int(np.argmax(np.asarray(g))), g.shape)
+    exp_delay = delay_chips * FS / CODE_RATE
+    assert abs(float(dops[d]) - 1500.0) <= 250.0
+    assert abs(l - exp_delay % (n // fold)) <= 2.0
+    # resolve the fold ambiguity to the absolute delay
+    delays, mags = pcps.quicksync_resolve(
+        x_dwells[0], codes, jnp.asarray([float(dops[d])]),
+        jnp.asarray([l]), FS, fold=fold)
+    # rolled-code correlation peaks at N - delay (roll convention): accept
+    # either convention within 2 samples
+    got = int(delays[0])
+    assert (min(abs(got - exp_delay), abs((n - got) - exp_delay)) <= 2.0
+            ), (got, exp_delay)
+
+
+def test_cccwsr_sign_recovery_beats_single_code():
+    """E1 data+pilot with an unknown relative sign: CCCWSR recovers the
+    combined power; a data-only correlation sees only half."""
+    fs = 4_500_000.0
+    sig_b = signals.GALILEO_E1B
+    sub_b = signals.subchip_table(sig_b, 11).astype(np.int8)
+    sub_c = signals.boc11_expand(
+        signals.galileo_e1_code(11, "C")).astype(np.int8)
+    n = int(fs * 4e-3)
+    # compose a dwell with BOTH components, pilot sign NEGATIVE
+    sats = [SatelliteSignalParams(prn=11, system="Galileo", signal="1B",
+                                  cn0_db_hz=45.0, doppler_hz=900.0,
+                                  delay_chips=1234.5,
+                                  nav_bits=np.ones(20, np.int8)),
+            SatelliteSignalParams(prn=11, system="Galileo", signal="1P",
+                                  cn0_db_hz=45.0, doppler_hz=900.0,
+                                  delay_chips=1234.5,
+                                  nav_bits=-np.ones(20, np.int8))]
+    x = generate_baseband(sats, fs, 2 * n, noise=True, seed=9)
+    x_dwells = jnp.asarray(x[:n][None])
+    code_b = prn_codes.sample_code(sub_b.astype(np.float32), fs,
+                                   sig_b.sc_rate, n)
+    code_c = prn_codes.sample_code(sub_c.astype(np.float32), fs,
+                                   sig_b.sc_rate, n)
+    cb = jnp.asarray(np.conj(np.fft.fft(code_b))[None].astype(np.complex64))
+    cc = jnp.asarray(np.conj(np.fft.fft(code_c))[None].astype(np.complex64))
+    dops = jnp.asarray(pcps.doppler_grid(2000.0, 125.0))
+    g_ccc = np.asarray(pcps.pcps_cccwsr_grid(x_dwells, cb, cc, dops, fs))
+    g_data = np.asarray(pcps.pcps_grid(x_dwells, cb, dops, fs))
+    exp_delay = 1234.5 / (sig_b.sc_rate / 2.0) * fs
+    c, d, l = np.unravel_index(int(np.argmax(g_ccc)), g_ccc.shape)
+    assert abs(float(dops[d]) - 900.0) <= 125.0
+    assert abs(l - exp_delay) <= 3.0, (l, exp_delay)
+    # sign recovery collects the pilot power: the combined PEAK is ~4x
+    # the data-only peak (amplitude doubles), and peak-to-floor improves
+    assert g_ccc.max() > 2.5 * g_data.max()
+    def p2f(g):
+        return g.max() / np.median(g)
+    assert p2f(g_ccc) > 1.1 * p2f(g_data)
+
+
+def test_e5a_noncoherent_iq_caf():
+    """E5a I/Q non-coherent combining detects the pilot+data signal; the
+    CAF Doppler filter keeps the same peak location."""
+    fs = 12_500_000.0
+    code_i = signals.galileo_e5a_code(3, "I").astype(np.float32)
+    code_q = signals.galileo_e5a_code(3, "Q").astype(np.float32)
+    n = int(fs * 1e-3)
+    sat = SatelliteSignalParams(prn=3, system="Galileo", signal="5X",
+                                cn0_db_hz=47.0, doppler_hz=-1800.0,
+                                delay_chips=5000.25,
+                                nav_bits=np.ones(40, np.int8))
+    x = generate_baseband([sat], fs, 3 * n, noise=True, seed=5)
+    x_dwells = jnp.asarray(x[: 2 * n].reshape(2, n))
+    rate = 10.23e6
+    si = prn_codes.sample_code(code_i, fs, rate, n)
+    sq = prn_codes.sample_code(code_q, fs, rate, n)
+    ci = jnp.asarray(np.conj(np.fft.fft(si))[None].astype(np.complex64))
+    cq = jnp.asarray(np.conj(np.fft.fft(sq))[None].astype(np.complex64))
+    dops = jnp.asarray(pcps.doppler_grid(4000.0, 250.0))
+    g = np.asarray(pcps.pcps_e5a_noncoherent_iq_grid(
+        x_dwells, ci, cq, dops, fs))
+    c, d, l = np.unravel_index(int(np.argmax(g)), g.shape)
+    exp_delay = 5000.25 / rate * fs
+    assert abs(float(dops[d]) + 1800.0) <= 250.0
+    assert abs(l - exp_delay) <= 3.0
+    g2 = np.asarray(pcps.pcps_e5a_noncoherent_iq_grid(
+        x_dwells, ci, cq, dops, fs, caf_bins=2))
+    c2, d2, l2 = np.unravel_index(int(np.argmax(g2)), g2.shape)
+    assert abs(l2 - l) <= 1 and abs(d2 - d) <= 2

@@ -97,3 +97,25 @@ def test_roundtrip_and_warm_start(tmp_path):
         p1, c1 = back[prn].sat_pos_clock(np.array([346860.0]))
         assert np.abs(p0 - p1).max() < 1e-3
         assert abs(c0[0] - c1[0]) < 1e-12
+
+
+def test_network_assistance_client(tmp_path):
+    """nav.supl_client: the SUPL-role network assistance flow — serve an
+    ephemeris set, fetch it over TCP, warm-start-ready dict comes back
+    (control_thread.cc assist_GNSS / gnss_sdr_supl_client role; framed
+    XML transport, not wire ASN.1 — see module docstring)."""
+    from gnss_sim_receiver_tpu.nav import supl_client
+
+    ephs = {}
+    for e in make_sky_constellation(40.0, -75.0, toe=346560.0)[:4]:
+        e.week, e.toc = 2200, e.toe
+        ephs[e.prn] = e
+    port, srv = supl_client.serve_assistance(ephs)
+    try:
+        got = supl_client.fetch_assistance("127.0.0.1", port)
+    finally:
+        srv.close()
+    assert set(got) == set(ephs)
+    p0, _ = ephs[list(ephs)[0]].sat_pos_clock(np.array([346900.0]))
+    p1, _ = got[list(ephs)[0]].sat_pos_clock(np.array([346900.0]))
+    assert np.abs(p0 - p1).max() < 1e-3

