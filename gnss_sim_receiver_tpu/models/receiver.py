@@ -1256,11 +1256,21 @@ class ReceiverSession:
             progressed = True
             advanced = True
             win, win_base = self._window(rt)
-            # block kernel once every tracking channel is through pull-in
-            # (pilot/secondary chains need sync margin on top)
-            need = rt.spec.trk.fll_pullin_epochs + 1000
-            if len(rt.spec.trk.secondary_code) > 0:
-                need += 2000
+            # Chains whose block kernel carries an FLL (enable_fll_pullin
+            # and no secondary code) run the block kernel from the very
+            # first chunk: its FLL pull-in + wide-DLL staging absorb the
+            # acquisition handoff errors directly (see
+            # test_block_mode_pullin_from_acquisition_errors), so the
+            # slow per-epoch pull-in phase is skipped entirely.
+            # Pilot/secondary chains and FLL-disabled chains (E1: symbol
+            # flips every epoch corrupt the cross-dot pairs) have no
+            # frequency pull-in at block cadence — they need the
+            # per-epoch wide short-epoch PLL closure first.
+            if (rt.spec.trk.enable_fll_pullin
+                    and len(rt.spec.trk.secondary_code) == 0):
+                need = 0
+            else:
+                need = rt.spec.trk.fll_pullin_epochs + 1000
             use_blocks = all(rt.epochs_run[c] >= need for c in tracking)
             staged.append((rt, tracking, n,
                            rt.trk.process_begin(win, win_base, n,

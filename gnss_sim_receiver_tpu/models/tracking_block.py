@@ -315,20 +315,76 @@ def track_chunk_blocks(conf: TrackingConf, n_blocks: int, e_block: int,
         carr_err_m = jnp.mean(carr_err, axis=1)
         code_err_m = jnp.mean(code_err, axis=1)
         t_blk = n_total / jnp.float32(fs)                       # [C]
-        # two-stage DLL: the handoff inherits the per-epoch kernel's
-        # code alignment (meters of wander) — settle it fast with the
-        # WIDE bandwidth for the first ~1 s of block mode, then narrow.
-        # ext_n doubles as the blocks-in-mode counter (the per-epoch
-        # kernel zeroes it on arm).
+        # two-stage loops: the handoff (straight from acquisition or
+        # from the per-epoch kernel) can carry a half-chip / 100+ Hz
+        # error — settle with the WIDE bandwidths for the first ~1 s of
+        # block mode, then narrow.  ext_n doubles as the blocks-in-mode
+        # counter (the per-epoch kernel zeroes it on arm).
         blocks_in = st.ext_n
         settle = blocks_in < jnp.int32(50)
         dll_bw_eff = jnp.where(settle, jnp.float32(conf.dll_bw_hz),
                                jnp.float32(conf.dll_bw_narrow_hz))
+        # PLL stays at the NARROW bandwidth even while young: the block
+        # closure runs at t_blk (~20 ms), and BL*T stability caps the
+        # loop at ~15 Hz here (35 Hz wide would put BL*T at 0.7 and
+        # oscillate).  Frequency pull-in is the FLL's job below.
         pll_new, pll_out = lf.third_order_step(
             st.pll, carr_err_m, jnp.float32(conf.pll_bw_narrow_hz), t_blk)
         dll_new, dll_out = lf.second_order_step(
             st.dll, code_err_m, dll_bw_eff, t_blk)
         doppler_new = pll_out
+        # FLL-assisted pull-in (run_dll_pll :1080-1099): per-epoch-pair
+        # cross-dot averaged over the block, nudging the PLL frequency
+        # integrator while the channel is young — this is what lets a
+        # chain hand off from acquisition STRAIGHT into block mode
+        # (+-250 Hz grid error pulls in at first-order gain
+        # 4*BL_f*t_blk ~= 1.2 per block, stable since < 2).  Same gates
+        # as the per-epoch kernel: disabled for secondary-code chains
+        # (every-epoch symbol flips corrupt the pairs).
+        if conf.enable_fll_pullin and sec_code is None:
+            prev_prompts = jnp.concatenate(
+                [st.prompt_prev[:, None], prompt[:, :-1]], axis=1)
+            t_pair = (n_len / jnp.float32(fs))                  # [C, E]
+            f_err = discriminators.fll_cross_dot(prev_prompts, prompt,
+                                                 t_pair)
+            # MEDIAN over the block's pairs, not the mean: a nav-bit
+            # flip between two prompts throws that pair's four-quadrant
+            # discriminator to the +-500 Hz rail, and one flipped pair
+            # in e_block would bias a mean by ~25 Hz every block (enough
+            # to wreck a 20 ms-cadence closure).  The median ignores the
+            # outlier while keeping the full +-500 Hz pull range (the
+            # two-quadrant form would be flip-proof but false-locks at
+            # +-500 Hz).
+            f_err_m = jnp.median(f_err, axis=1)
+            # engaged during the pull-in window AND any time carrier
+            # lock has not (or no longer) been achieved: the narrow PLL
+            # closing at block cadence (BL*T ~ 0.3) cannot recover a
+            # frequency ramp on its own at low C/N0 — without this the
+            # loop walks off at ~10 Hz/s after a slip cascade (measured,
+            # see test_block_mode_pullin_low_cn0)
+            in_pullin = ((st.epoch < jnp.int32(conf.fll_pullin_epochs))
+                         | (st.carrier_lock
+                            < jnp.float32(conf.carrier_lock_threshold)))
+            # per-block gain capped at 0.5: the per-epoch form
+            # 4*BL_f*t_int lands at 1.2 for a 20 ms block — an
+            # underdamped (sign-alternating) first-order recursion that
+            # amplifies discriminator noise ~6x.  0.5 converges
+            # geometrically (125 Hz -> <1 Hz inside the 12-block
+            # pull-in window) with the noise of a damped loop.
+            g_fll = jnp.minimum(4.0 * jnp.float32(conf.fll_bw_hz) * t_blk,
+                                jnp.float32(0.5))
+            # after the pull-in window, lock-recovery mode runs at 0.3x
+            # gain: enough to stop a slip-cascade frequency ramp
+            # (~10 Hz/s) at 7.5x/s correction, small enough (~1.5 Hz
+            # RMS kicks at 42 dB-Hz) for the PLL to reach phase lock
+            # under it
+            g_eff = jnp.where(st.epoch < jnp.int32(conf.fll_pullin_epochs),
+                              g_fll, 0.3 * g_fll)
+            fll_nudge = jnp.where(in_pullin, g_eff * f_err_m,
+                                  jnp.zeros_like(f_err_m))
+            doppler_new = doppler_new + fll_nudge
+            pll_new = lf.LoopFilterState(vel=pll_new.vel + fll_nudge,
+                                         acc=pll_new.acc)
         code_freq_new = (jnp.float32(conf.code_rate_cps)
                          * (1.0 + (doppler_new
                                    - jnp.float32(conf.doppler_bias_hz))
@@ -354,11 +410,16 @@ def track_chunk_blocks(conf: TrackingConf, n_blocks: int, e_block: int,
         t_sym = t_blk / jnp.float32(e_block)
         cn0_lin = jnp.maximum(sig / noise, 1e-6) / t_sym
         cn0_db = 10.0 * jnp.log10(cn0_lin)
-        bad = (carrier_lock < jnp.float32(conf.carrier_lock_threshold)) \
-            | (cn0_db < jnp.float32(conf.cn0_min_db_hz))
-        fail = jnp.where(bad, st.lock_fail + jnp.float32(e_block),
-                         jnp.maximum(st.lock_fail
-                                     - jnp.float32(e_block), 0.0))
+        # one block ~= one per-epoch C/N0 window (cn0_window_epochs), so
+        # the fail counter moves +-1 per BLOCK — same timescale as the
+        # per-epoch kernel's +-1 per window — and the pull-in transient
+        # is exempt exactly as there (in_transitory, tracking.py:605-607)
+        in_transitory = st.epoch < jnp.int32(conf.fll_pullin_epochs)
+        bad = ((carrier_lock < jnp.float32(conf.carrier_lock_threshold))
+               | (cn0_db < jnp.float32(conf.cn0_min_db_hz))) \
+            & ~in_transitory
+        fail = jnp.where(bad, st.lock_fail + 1.0,
+                         jnp.maximum(st.lock_fail - 1.0, 0.0))
         lost = fail > jnp.float32(conf.max_lock_fail)
 
         # ---- bit-sync histogram (data channels) ------------------------

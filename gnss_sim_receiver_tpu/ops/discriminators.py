@@ -39,6 +39,23 @@ def fll_cross_dot(prompt_prev: jnp.ndarray, prompt: jnp.ndarray,
     return jnp.arctan2(cross, dot) / (2.0 * jnp.pi * t_sep_s)
 
 
+def fll_cross_dot_decision(prompt_prev: jnp.ndarray, prompt: jnp.ndarray,
+                           t_sep_s) -> jnp.ndarray:
+    """Two-quadrant (decision-directed) cross/dot frequency discriminator
+    [Hz] (reference fll_diff_atan with atan: half the pull range of the
+    four-quadrant form, but FULLY insensitive to a nav-bit flip BETWEEN
+    the prompts — the flip negates cross and dot together, leaving
+    atan2(cross*sign(dot), |dot|) unchanged.  Used by closures that
+    AVERAGE pair discriminators over a block, where one flipped
+    four-quadrant pair would bias the whole block's estimate."""
+    i1, q1 = jnp.real(prompt_prev), jnp.imag(prompt_prev)
+    i2, q2 = jnp.real(prompt), jnp.imag(prompt)
+    cross = i1 * q2 - i2 * q1
+    dot = i1 * i2 + q1 * q2
+    sgn = jnp.where(dot >= 0, 1.0, -1.0)
+    return jnp.arctan2(cross * sgn, jnp.abs(dot)) / (2.0 * jnp.pi * t_sep_s)
+
+
 def dll_nc_e_minus_l_normalized(early_mag: jnp.ndarray, late_mag: jnp.ndarray,
                                 spacing_chips) -> jnp.ndarray:
     """Normalized non-coherent early-minus-late envelope discriminator

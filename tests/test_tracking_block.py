@@ -182,3 +182,40 @@ def test_block_kernel_state_interop():
     assert abs(float(np.asarray(st.carrier_doppler)[0]) - dop) < 2.0
     p = np.asarray(out["prompt"])[:, 0]
     assert np.abs(p.real).mean() > 5 * np.abs(p.imag).mean()
+
+
+def test_block_mode_pullin_from_acquisition_errors():
+    """The block kernel's own FLL + wide-DLL staging pulls in straight
+    from acquisition-grade handoff errors (+200 Hz Doppler off the grid,
+    ~1.5 samples of code error) — the receiver no longer needs a
+    per-epoch pull-in phase for non-secondary chains."""
+    prn, dop_true = 21, 1700.0
+    delay_n = 700
+    delay = delay_n * CODE_RATE / FS
+    # RANDOM nav bits: a flip between two prompts rails that pair's
+    # cross-dot discriminator, which is exactly the failure mode the
+    # block FLL's median estimator exists for
+    rng = np.random.default_rng(7)
+    bits = np.where(rng.random(128) < 0.5, 1, -1).astype(np.int8)
+    sats = [SatelliteSignalParams(prn=prn, cn0_db_hz=42.0,
+                                  doppler_hz=dop_true, delay_chips=delay,
+                                  nav_bits=bits)]
+    n_blocks = 120                     # 2.4 s
+    n_samp = delay_n + (n_blocks * E_BLOCK + 8) * 2000 + 4096
+    x = jnp.asarray(generate_baseband(sats, FS, n_samp, noise=True,
+                                      seed=11))
+    conf = trk.TrackingConf(fs=FS)     # FLL pull-in ON (default)
+    taps = jnp.asarray([+0.25, 0.0, -0.25], jnp.float32)
+    _, codes_fft = _tables(conf, [prn])
+    # arm WITH the errors: acquisition-grid-edge -125 Hz, 2 samples late
+    st = _armed_state(conf, [prn], [dop_true - 125.0], [delay_n])
+    st = st._replace(pos=st.pos + 2)
+    st, out = tb.track_chunk_blocks(conf, n_blocks, E_BLOCK, codes_fft,
+                                    taps, x, st)
+    assert bool(np.asarray(st.active)[0])
+    assert not bool(np.asarray(st.lock_lost)[0])
+    assert abs(float(np.asarray(st.carrier_doppler)[0]) - dop_true) < 5.0
+    # last 10 blocks phase-locked: prompt I dominates Q
+    p = np.asarray(out["prompt"])[-200:, 0]
+    assert np.abs(p.real).mean() > 2.5 * np.abs(p.imag).mean()
+    assert float(np.asarray(st.cn0_db_hz)[0]) > 38.0
