@@ -28,14 +28,25 @@ def main(argv=None) -> int:
                     help="override SignalSource.filename")
     ap.add_argument("--duration_s", type=float, default=0.0,
                     help="limit processed signal duration")
+    ap.add_argument("--log_dir", default=None,
+                    help="write a glog-style log file here")
+    ap.add_argument("--v", type=int, default=None,
+                    help="VLOG verbosity (glog --v)")
     args = ap.parse_args(argv)
 
     config = FileConfiguration(args.config_file)
+    from gnss_sim_receiver_tpu.utils import glog
+    glog.init(log_dir=args.log_dir,
+              verbosity=args.v if args.v is not None
+              else int(config.property("GNSS-SDR.log_verbosity", 0)))
     src = source_from_config(config)
     if args.signal_file:
         src.filename = args.signal_file
     if src.implementation not in ("File_Signal_Source",
-                                  "File_Timestamp_Signal_Source"):
+                                  "File_Timestamp_Signal_Source",
+                                  "Nsr_File_Signal_Source",
+                                  "Spir_File_Signal_Source",
+                                  "Labsat_Signal_Source"):
         print(f"signal source {src.implementation} not supported in this "
               "build; use File_Signal_Source", file=sys.stderr)
         return 2
@@ -73,7 +84,20 @@ def main(argv=None) -> int:
     if args.duration_s > 0:
         count = int(args.duration_s * src.sampling_frequency)
     print(f"Reading {src.filename} ({src.item_type}) ...")
-    x = read_samples(src.filename, src.item_type, count=count)
+    if src.implementation == "Nsr_File_Signal_Source":
+        from gnss_sim_receiver_tpu.utils.sample_io import read_samples_nsr
+        x = read_samples_nsr(src.filename, count=count)
+    elif src.implementation == "Spir_File_Signal_Source":
+        from gnss_sim_receiver_tpu.utils.sample_io import read_samples_spir
+        x = read_samples_spir(src.filename, count=count)
+    elif src.implementation == "Labsat_Signal_Source":
+        from gnss_sim_receiver_tpu.utils.sample_io import \
+            read_samples_labsat23
+        x = read_samples_labsat23(src.filename)
+        if count > 0:
+            x = x[:count]
+    else:
+        x = read_samples(src.filename, src.item_type, count=count)
     print(f"  {len(x)} samples at {src.sampling_frequency/1e6:.3f} Msps")
 
     cond = SignalConditioner(config, fs_in=src.sampling_frequency)
@@ -170,14 +194,20 @@ def _write_outputs(config, run) -> None:
             out.write_geojson(config.property("PVT.geojson_output_path",
                                               "pvt.geojson"), run.solutions)
     if run.observation_epochs and config.property("PVT.flag_rinex", False):
-        out.write_rinex_obs(config.property("PVT.rinex_output_path",
-                                            "pvt.obs"),
-                            run.observation_epochs, run.channel_prns, week,
-                            systems=run.channel_systems or None)
-        if run.ephemerides:
-            out.write_rinex_nav(config.property("PVT.rinex_nav_output_path",
-                                                "pvt.nav"),
-                                run.ephemerides, week)
+        rnx_ver = str(config.property("PVT.rinex_version", "3.02"))
+        obs_path = config.property("PVT.rinex_output_path", "pvt.obs")
+        nav_path = config.property("PVT.rinex_nav_output_path", "pvt.nav")
+        if rnx_ver.startswith("2"):
+            out.write_rinex2_obs(obs_path, run.observation_epochs,
+                                 run.channel_prns, week)
+            if run.ephemerides:
+                out.write_rinex2_nav(nav_path, run.ephemerides, week)
+        else:
+            out.write_rinex_obs(obs_path, run.observation_epochs,
+                                run.channel_prns, week,
+                                systems=run.channel_systems or None)
+            if run.ephemerides:
+                out.write_rinex_nav(nav_path, run.ephemerides, week)
 
 
 if __name__ == "__main__":

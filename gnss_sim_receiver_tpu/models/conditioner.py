@@ -50,6 +50,20 @@ class SignalConditioner:
             self._decim = config.property("InputFilter.decimation_factor", 1)
             self._xlate_freq = config.property("InputFilter.IF", 0.0)
             self.fs_out = self.fs_in / self._decim
+        if self.filter_impl == "Beamformer_Filter":
+            # reference beamformer.cc: weighted sum over array elements
+            # (GNSS_SDR_BEAMFORMER_CHANNELS inputs -> 1 output); weights
+            # from InputFilter.weight_<k>_real/imag, default (1,0) as the
+            # reference's constructor initializes them
+            n_el = int(config.property("InputFilter.number_of_channels", 8))
+            w = np.empty(n_el, np.complex64)
+            for k in range(n_el):
+                w[k] = complex(
+                    float(config.property(f"InputFilter.weight_{k}_real",
+                                          1.0)),
+                    float(config.property(f"InputFilter.weight_{k}_imag",
+                                          0.0)))
+            self._beam_weights = w
         if self.resampler_impl in ("Direct_Resampler", "Mmse_Resampler"):
             self._res_fs_out = config.property("Resampler.sample_freq_out",
                                                self.fs_out)
@@ -57,8 +71,17 @@ class SignalConditioner:
             self.fs_out = self._res_fs_out
 
     def process(self, x: np.ndarray) -> np.ndarray:
-        y = xfer.device_put_complex(np.asarray(x, dtype=np.complex64))
         impl = self.filter_impl
+        if impl == "Beamformer_Filter":
+            # [n_elements, N] multichannel capture -> beamformed [N]
+            x = np.asarray(x, dtype=np.complex64)
+            if x.ndim != 2:
+                raise ValueError(
+                    "Beamformer_Filter needs an [n_elements, N] array")
+            w = self._beam_weights[: x.shape[0]]
+            x = np.einsum("e,en->n", w, x)
+            impl = "Pass_Through"
+        y = xfer.device_put_complex(np.asarray(x, dtype=np.complex64))
         if impl == "Fir_Filter":
             y = filters.fir_filter(y, self._taps, self._decim)
         elif impl == "Freq_Xlating_Fir_Filter":

@@ -15,6 +15,10 @@ import collections
 import dataclasses
 import enum
 
+from gnss_sim_receiver_tpu.utils import glog
+
+_log = glog.logger("control")
+
 
 class ChannelState(enum.IntEnum):
     IDLE = 0
@@ -122,8 +126,13 @@ class AcquisitionManager:
             ch.state = ChannelState.TRACKING
             ch.acq_doppler_hz = doppler_hz
             ev = ChannelEvent.ACQ_SUCCESS
+            _log.info("ch %d PRN %d acquisition OK (doppler %.0f Hz)",
+                      channel, ch.prn, doppler_hz)
         else:
             ch.acq_fail_count += 1
+            glog.vlog(1, "ch %d PRN %d acquisition failed (%d)",
+                      channel, ch.prn, ch.acq_fail_count,
+                      module="control")
             if ch.acq_fail_count >= self.max_fails:
                 # rotate to another satellite (failed_acquisition_no_repeat)
                 ch.state = ChannelState.IDLE
@@ -136,6 +145,7 @@ class AcquisitionManager:
         """Loss-of-lock: satellite returns to the pool, channel re-enters
         acquisition scheduling (event 2 path)."""
         ch = self.channels[channel]
+        _log.warning("ch %d PRN %d loss of lock", channel, ch.prn)
         ch.state = ChannelState.IDLE
         ch.prn = 0
         self.events.append((channel, ChannelEvent.TRK_LOST))

@@ -510,3 +510,149 @@ def read_rinex_nav(path):
         ephs[key] = e
         i += 1 + n_rows
     return ephs
+
+
+# ---------------------------------------------------------------------------
+# RINEX 2.11 (rinex_printer.cc version-2 path, selected by the reference
+# conf key PVT.rinex_version=2.11: GPS L1 C1/L1/D1/S1 subset with
+# D-exponent numerics and inline satellite lists)
+# ---------------------------------------------------------------------------
+
+def _d19(x) -> str:
+    """FORTRAN D19.12 field: RINEX 2 wants D exponents."""
+    s = f"{float(x): .12E}".replace("E", "D")
+    return s.rjust(19)
+
+
+def write_rinex2_obs(path, epochs, prns, week: int, *,
+                     marker: str = "TPU0") -> None:
+    """RINEX 2.11 GPS observation file (C1 L1 D1 S1).  Satellites of
+    other systems are skipped — version 2 output in the reference is a
+    GPS-era format (rinex_printer.cc version==2 branches)."""
+    lines = []
+    lines.append(f"{'2.11':>9}{'':11}{'OBSERVATION DATA':<20}"
+                 f"{'G (GPS)':<20}{'RINEX VERSION / TYPE'}")
+    lines.append(f"{'gnss_sim_receiver_tpu':<20}{'':40}"
+                 f"{'PGM / RUN BY / DATE'}")
+    lines.append(f"{marker:<60}{'MARKER NAME'}")
+    lines.append(f"{4:6d}{'C1':>6}{'L1':>6}{'D1':>6}{'S1':>6}{'':30}"
+                 f"{'# / TYPES OF OBSERV'}")
+    first = gps_time_to_utc(week, epochs[0].rx_time_s, 0.0)
+    lines.append(f"{first.year:6d}{first.month:6d}{first.day:6d}"
+                 f"{first.hour:6d}{first.minute:6d}{first.second:13.7f}"
+                 f"{'GPS':>8}{'':9}{'TIME OF FIRST OBS'}")
+    lines.append(f"{'':60}{'END OF HEADER'}")
+    n = len(prns)
+    for ep in epochs:
+        sats = [c for c in range(n) if ep.valid[c]]
+        if not sats:
+            continue
+        t = gps_time_to_utc(week, ep.rx_time_s, 0.0)
+        sec = t.second + t.microsecond / 1e6
+        head = (f" {t.year % 100:02d} {t.month:2d} {t.day:2d} {t.hour:2d} "
+                f"{t.minute:2d}{sec:11.7f}  0{len(sats):3d}")
+        # inline satellite list, 12 per line (epoch/sat continuation)
+        ids = "".join(f"G{int(prns[c]):02d}" for c in sats[:12])
+        lines.append(head + ids)
+        for k in range(12, len(sats), 12):
+            lines.append(" " * 32
+                         + "".join(f"G{int(prns[c]):02d}"
+                                   for c in sats[k:k + 12]))
+        for c in sats:
+            phase_cyc = -ep.carrier_phase_cycles[c]   # RINEX sign
+            lines.append(f"{ep.pseudorange_m[c]:14.3f}  "
+                         f"{phase_cyc:14.3f}  "
+                         f"{ep.carrier_doppler_hz[c]:14.3f}  "
+                         f"{ep.cn0_db_hz[c]:14.3f}  ".rstrip())
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def write_rinex2_nav(path, ephemerides: dict, week: int) -> None:
+    """RINEX 2.11 GPS navigation file: 'PRN yy mm dd ...' records, data
+    columns from col 4 with D-exponents (rinex_printer.cc
+    log_rinex_nav version-2 overload).  Non-GPS keys are skipped."""
+    f = _d19
+    lines = []
+    lines.append(f"{'2.11':>9}{'':11}{'N: GPS NAV DATA':<20}{'':20}"
+                 f"{'RINEX VERSION / TYPE'}")
+    lines.append(f"{'':60}{'END OF HEADER'}")
+    for key in sorted(k for k in ephemerides if isinstance(k, int)):
+        e = ephemerides[key]
+        toc = gps_time_to_utc(week, e.toc, 0.0)
+        sec = toc.second + toc.microsecond / 1e6
+        lines.append(f"{key:2d} {toc.year % 100:02d} {toc.month:2d} "
+                     f"{toc.day:2d} {toc.hour:2d} {toc.minute:2d}"
+                     f"{sec:5.1f}{f(e.af0)}{f(e.af1)}{f(e.af2)}")
+        iode = float(getattr(e, "iode", 0))
+        rows = [
+            (iode, e.crs, e.delta_n_sc * np.pi, e.m0_sc * np.pi),
+            (e.cuc, e.ecc, e.cus, e.sqrt_a),
+            (e.toe, e.cic, e.omega0_sc * np.pi, e.cis),
+            (e.i0_sc * np.pi, e.crc, e.omega_sc * np.pi,
+             e.omega_dot_sc * np.pi),
+            (e.idot_sc * np.pi, 1.0, float(week % 1024), 0.0),
+            (0.0, float(getattr(e, "sv_health", 0)),
+             float(getattr(e, "tgd", 0.0)),
+             float(getattr(e, "iodc", iode))),
+            (0.0, 4.0, 0.0, 0.0),
+        ]
+        for r in rows:
+            lines.append("   " + "".join(f(v) for v in r))
+    Path(path).write_text("\n".join(lines) + "\n")
+
+
+def read_rinex2_nav(path) -> dict:
+    """Read back a RINEX 2.11 GPS nav file (round-trip test and
+    assistance interop with legacy 2.11 products).  Field layout per
+    RINEX 2.11 table A4: 7 broadcast-orbit rows of 4 D19.12 columns
+    starting at column 4."""
+    from gnss_sim_receiver_tpu.nav.ephemeris import GpsEphemeris
+    txt = Path(path).read_text().splitlines()
+    i = 0
+    while i < len(txt) and "END OF HEADER" not in txt[i]:
+        i += 1
+    i += 1
+
+    def fl(s):
+        s = s.strip().replace("D", "E")
+        return float(s) if s else 0.0
+
+    out = {}
+    while i + 7 < len(txt) + 1 and i < len(txt) and txt[i].strip():
+        hdr = txt[i]
+        prn = int(hdr[:2])
+        af0, af1, af2 = fl(hdr[22:41]), fl(hdr[41:60]), fl(hdr[60:79])
+        v = []
+        for r in range(1, 8):
+            row = txt[i + r] if i + r < len(txt) else ""
+            for k in range(4):
+                v.append(fl(row[3 + 19 * k: 3 + 19 * (k + 1)]))
+        week = int(v[18])
+        if week < 1024:          # 2.11 files carry mod-1024 weeks
+            week += 2048
+        out[prn] = GpsEphemeris(
+            prn=prn, week=week,
+            toc=_toc_from_utc(hdr), af0=af0, af1=af1, af2=af2,
+            iode=int(v[0]), crs=v[1], delta_n_sc=v[2] / np.pi,
+            m0_sc=v[3] / np.pi,
+            cuc=v[4], ecc=v[5], cus=v[6], sqrt_a=v[7],
+            toe=v[8], cic=v[9], omega0_sc=v[10] / np.pi, cis=v[11],
+            i0_sc=v[12] / np.pi, crc=v[13], omega_sc=v[14] / np.pi,
+            omega_dot_sc=v[15] / np.pi, idot_sc=v[16] / np.pi,
+            tgd=v[22], iodc=int(v[23]))
+        i += 8
+    return out
+
+
+def _toc_from_utc(hdr: str) -> float:
+    """RINEX 2 epoch 'yy mm dd hh mm ss.s' -> GPS seconds of week."""
+    import datetime as _dt
+    yy = int(hdr[3:5]); mo = int(hdr[6:8]); dd = int(hdr[9:11])
+    hh = int(hdr[12:14]); mi = int(hdr[15:17]); ss = float(hdr[17:22])
+    year = 2000 + yy if yy < 80 else 1900 + yy
+    t = _dt.datetime(year, mo, dd, hh, mi, tzinfo=_dt.timezone.utc) \
+        + _dt.timedelta(seconds=ss)
+    # the 2.11 writer formats epochs with gps_time_to_utc(..., 0.0)
+    # (GPS timescale, no leap offset) — invert with the same convention
+    _, tow = utc_to_gps_time(t, leap_s=0.0)
+    return tow

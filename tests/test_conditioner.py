@@ -103,3 +103,41 @@ def test_signal_conditioner_chain(impl, key):
     assert cond.fs_out == 1e6
     expect = 16384 * (1e6 / 4e6)
     assert abs(len(y) - expect) <= 2
+
+
+def test_beamformer_filter():
+    """Beamformer_Filter (reference beamformer.cc work(): out[n] =
+    sum_i w_i * in_i[n]): weights steer an array capture; a matched
+    phase progression combines coherently (gain n_elements over one
+    element)."""
+    import numpy as np
+
+    from gnss_sim_receiver_tpu.models.conditioner import SignalConditioner
+    from gnss_sim_receiver_tpu.utils.config import InMemoryConfiguration
+
+    n_el, n = 4, 4096
+    rng = np.random.default_rng(2)
+    base = (rng.standard_normal(n) + 1j * rng.standard_normal(n)
+            ).astype(np.complex64)
+    # element k sees the signal phase-shifted by k*30 degrees
+    shifts = np.exp(1j * np.radians(30.0) * np.arange(n_el))
+    x = np.stack([base * s for s in shifts]).astype(np.complex64)
+
+    conf = InMemoryConfiguration()
+    conf.set_property("InputFilter.implementation", "Beamformer_Filter")
+    conf.set_property("InputFilter.number_of_channels", str(n_el))
+    for k in range(n_el):
+        w = np.conj(shifts[k])
+        conf.set_property(f"InputFilter.weight_{k}_real", f"{w.real:.17g}")
+        conf.set_property(f"InputFilter.weight_{k}_imag", f"{w.imag:.17g}")
+    cond = SignalConditioner(conf, fs_in=4e6)
+    y = cond.process(x)
+    assert y.shape == (n,)
+    # coherent gain: matched weights recover n_el * base
+    assert np.abs(y - n_el * base).max() < 1e-3 * n_el
+    # default weights (1+0j): plain sum — phase-misaligned elements
+    conf2 = InMemoryConfiguration()
+    conf2.set_property("InputFilter.implementation", "Beamformer_Filter")
+    conf2.set_property("InputFilter.number_of_channels", str(n_el))
+    y2 = SignalConditioner(conf2, fs_in=4e6).process(x)
+    assert np.abs(y2).mean() < np.abs(y).mean()
