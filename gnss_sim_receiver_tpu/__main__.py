@@ -179,21 +179,70 @@ def _write_outputs(config, run) -> None:
     week = 0
     if run.ephemerides:
         week = next(iter(run.ephemerides.values())).week
+
+    def _enabled(ref_key, legacy_key):
+        # the reference adapter uses *_output_enabled names
+        # (rtklib_pvt.cc:210-260); the flag_* spellings are kept for
+        # compatibility with earlier confs of this framework
+        return (config.property(ref_key, False)
+                or config.property(legacy_key, False))
+
+    def _rated(solutions, rate_key):
+        """Subsample solutions to an output product's own rate
+        (PVT.kml_rate_ms etc. vs the solver's output_rate_ms)."""
+        rate_ms = float(config.property(rate_key, 0))
+        base_ms = float(config.property("PVT.output_rate_ms", 20))
+        if rate_ms <= base_ms or base_ms <= 0:
+            return solutions
+        step = max(1, int(round(rate_ms / base_ms)))
+        return solutions[::step]
+
     if run.solutions:
         if config.property("PVT.flag_nmea_tty_port", False) or \
+                config.property("PVT.nmea_output_file_enabled", False) or \
                 config.is_present("PVT.nmea_dump_filename"):
-            out.write_nmea(config.property("PVT.nmea_dump_filename",
-                                           "pvt.nmea"), run.solutions, week)
-        if config.property("PVT.flag_kml", False):
+            out.write_nmea(config.property(
+                "PVT.nmea_output_file_path",
+                config.property("PVT.nmea_dump_filename", "pvt.nmea")),
+                _rated(run.solutions, "PVT.nmea_rate_ms"), week)
+        if _enabled("PVT.kml_output_enabled", "PVT.flag_kml"):
             out.write_kml(config.property("PVT.kml_output_path", "pvt.kml"),
-                          run.solutions)
-        if config.property("PVT.flag_gpx", False):
+                          _rated(run.solutions, "PVT.kml_rate_ms"))
+        if _enabled("PVT.gpx_output_enabled", "PVT.flag_gpx"):
             out.write_gpx(config.property("PVT.gpx_output_path", "pvt.gpx"),
-                          run.solutions, week)
-        if config.property("PVT.flag_geojson", False):
+                          _rated(run.solutions, "PVT.gpx_rate_ms"), week)
+        if _enabled("PVT.geojson_output_enabled", "PVT.flag_geojson"):
             out.write_geojson(config.property("PVT.geojson_output_path",
-                                              "pvt.geojson"), run.solutions)
-    if run.observation_epochs and config.property("PVT.flag_rinex", False):
+                                              "pvt.geojson"),
+                              _rated(run.solutions, "PVT.geojson_rate_ms"))
+        if config.property("PVT.xml_output_enabled", False):
+            out.write_pvt_xml(config.property("PVT.xml_output_path",
+                                              "pvt.xml"),
+                              run.solutions, week)
+    # RTCM 3.x file output (rtklib_pvt.cc rtcm_printer role:
+    # PVT.rtcm_output_file_enabled + rtcm_station_id; the rover's own
+    # observables + decoded ephemerides as a station stream)
+    if run.observation_epochs and run.solutions and config.property(
+            "PVT.rtcm_output_file_enabled", False):
+        from gnss_sim_receiver_tpu.models.rtcm import RtcmBaseEncoder
+        enc = RtcmBaseEncoder(
+            run.solutions[-1].rx_ecef_m,
+            station_id=int(config.property("PVT.rtcm_station_id", 0)))
+        frames = [enc.station_frame()]
+        if run.ephemerides:
+            frames += enc.ephemeris_frames(run.ephemerides)
+        for ep in run.observation_epochs:
+            frames += enc.epoch_frames(ep, run.channel_prns,
+                                       run.channel_systems
+                                       or ["GPS"] * len(run.channel_prns))
+        rtcm_path = config.property("PVT.rtcm_output_file_path",
+                                    "pvt.rtcm")
+        with open(rtcm_path, "wb") as fh:
+            fh.write(b"".join(frames))
+        print(f"RTCM: {len(frames)} frames -> {rtcm_path}")
+    if run.observation_epochs and (
+            config.property("PVT.rinex_output_enabled", False)
+            or config.property("PVT.flag_rinex", False)):
         rnx_ver = str(config.property("PVT.rinex_version", "3.02"))
         obs_path = config.property("PVT.rinex_output_path", "pvt.obs")
         nav_path = config.property("PVT.rinex_nav_output_path", "pvt.nav")

@@ -52,6 +52,7 @@ class AcqConf:
     # detector, pcps_tong_acquisition_cc)
     variant: str = "pcps"
     fine_doppler_iters: int = 3      # zoom iterations (step /4 each)
+    quicksync_fold: int = 4          # QuickSync folding factor
     tong_init: int = 1               # Tong counter init (tong_init_val)
     tong_max: int = 2                # declare at this count (tong_max_val)
     tong_max_dwells: int = 10        # dismissal dwell cap (tong_max_dwells)
@@ -154,6 +155,7 @@ class PcpsAcquisitionEngine:
             prn_codes.sample_code(np.asarray(code_provider(p), np.float32),
                                   fs, sc_rate, self.n_coherent)
             for p in self.prns])
+        self._codes_host = codes      # time domain (quicksync path)
         if conf.bit_transition_flag:
             codes = np.concatenate(
                 [codes, np.zeros_like(codes)], axis=-1)
@@ -177,6 +179,8 @@ class PcpsAcquisitionEngine:
         samples)."""
         if self.conf.variant == "tong":
             return self._acquire_tong(x, samplestamp)
+        if self.conf.variant == "quicksync":
+            return self._acquire_quicksync(x, samplestamp)
         m = self.conf.max_dwells
         n = self.fft_size
         if len(x) < m * n:
@@ -363,6 +367,54 @@ class PcpsAcquisitionEngine:
             dop, stat = self._narrow_grid_step(x_dwells, dop, step, 4)
             step /= 4.0
         return dop, stat
+
+    def _acquire_quicksync(self, x: np.ndarray, samplestamp: int) \
+            -> AcqResults:
+        """QuickSync folded search (pcps_quicksync_acquisition_cc role):
+        detect on the N/fold grid (fold x smaller FFT), then resolve the
+        fold ambiguity with `fold` full-length correlations at the
+        detected (Doppler, folded-lag)."""
+        import jax.numpy as jnp
+
+        m = self.conf.max_dwells
+        n = self.n_coherent          # no bit-transition mode here
+        if len(x) < m * n:
+            raise ValueError(f"need {m * n} samples, got {len(x)}")
+        fold = int(self.conf.quicksync_fold)
+        x_dwells = xfer.device_put_complex(np.ascontiguousarray(
+            x[: m * n]).reshape(m, n).astype(np.complex64))
+        if not hasattr(self, "_codes_time"):
+            self._codes_time = jnp.asarray(self._codes_host)
+        g = pcps.pcps_quicksync_grid(
+            x_dwells, self._codes_time, self.dopplers, self.conf.fs_in,
+            fold)                                        # [C, D, N/fold]
+        stat_j, dop_idx_j, lag_j = pcps.max_to_input_power_stat(
+            g, jnp.float32(m))
+        buf = np.asarray(jnp.stack([stat_j.astype(jnp.float32),
+                                    dop_idx_j.astype(jnp.float32),
+                                    lag_j.astype(jnp.float32)]))
+        stat = buf[0].astype(np.float64)
+        dops = np.asarray(self.dopplers)[
+            buf[1].astype(np.int64)].astype(np.float64)
+        lag_f = buf[2].astype(np.int64)
+        delays, _ = pcps.quicksync_resolve(
+            x_dwells[0], self._codes_time,
+            jnp.asarray(dops.astype(np.float32)),
+            jnp.asarray(lag_f.astype(np.int32)), self.conf.fs_in,
+            fold=fold)
+        # same Gamma-inverse threshold family as the full grid, sized
+        # for the folded cell count
+        thr = pcps.cfar_threshold(self.conf.pfa,
+                                  (n // fold) * len(self.dopplers), m) \
+            if self.conf.pfa > 0 else self.conf.threshold
+        return AcqResults(
+            detected=stat > thr,
+            test_stat=stat,
+            delay_samples=np.asarray(delays, np.float64) % n,
+            doppler_hz=dops,
+            threshold=thr,
+            samplestamp=int(samplestamp),
+        )
 
     def _acquire_tong(self, x: np.ndarray, samplestamp: int) -> AcqResults:
         """Tong sequential detector (pcps_tong_acquisition_cc): per-channel

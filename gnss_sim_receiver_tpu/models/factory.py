@@ -48,7 +48,8 @@ from gnss_sim_receiver_tpu.utils.config import Configuration
 _ACQ_IMPLS = {
     "1C": {"GPS_L1_CA_PCPS_Acquisition",
            "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler",
-           "GPS_L1_CA_PCPS_Tong_Acquisition"},
+           "GPS_L1_CA_PCPS_Tong_Acquisition",
+           "GPS_L1_CA_PCPS_QuickSync_Acquisition"},
     "1B": {"Galileo_E1_PCPS_Ambiguous_Acquisition"},
     "2S": {"GPS_L2_M_PCPS_Acquisition"},
     "L5": {"GPS_L5i_PCPS_Acquisition"},
@@ -170,7 +171,8 @@ def _acq_from_config(config: Configuration, sig: str,
     p = f"Acquisition_{sig}."
     pfa = config.property(p + "pfa", base.pfa)
     variant = ("fine_doppler" if acq_impl.endswith("Fine_Doppler")
-               else "tong" if "Tong" in acq_impl else "pcps")
+               else "tong" if "Tong" in acq_impl
+               else "quicksync" if "QuickSync" in acq_impl else "pcps")
     return dataclasses.replace(
         base,
         doppler_max=float(config.property(p + "doppler_max",
@@ -197,6 +199,7 @@ def _acq_from_config(config: Configuration, sig: str,
         tong_init=config.property(p + "tong_init_val", 1),
         tong_max=config.property(p + "tong_max_val", 2),
         tong_max_dwells=config.property(p + "tong_max_dwells", 10),
+        quicksync_fold=config.property(p + "folding_factor", 4),
     )
 
 
@@ -339,6 +342,8 @@ def pvt_conf_from_config(config: Configuration) -> PvtConf:
         max_gdop=config.property("PVT.threshold_reject_GDOP", 30.0),
         iono_model=config.property("PVT.iono_model", "OFF"),
         trop_model=config.property("PVT.trop_model", "OFF"),
+        raim_fde=config.property("PVT.raim_fde", False),
+        raim_threshold_m=config.property("PVT.raim_threshold_m", 30.0),
     )
 
 

@@ -656,3 +656,26 @@ def _toc_from_utc(hdr: str) -> float:
     # (GPS timescale, no leap offset) — invert with the same convention
     _, tow = utc_to_gps_time(t, leap_s=0.0)
     return tow
+
+
+def write_pvt_xml(path, solutions, week: int) -> None:
+    """PVT solutions as XML (rtklib_pvt.cc xml_output_enabled role —
+    simple per-epoch records on the boost-XML shape used by the
+    reference's serialization outputs)."""
+    lines = ['<?xml version="1.0" encoding="UTF-8" standalone="yes" ?>',
+             "<pvt_solutions>"]
+    for s in solutions:
+        t = gps_time_to_utc(week, s.rx_time_corrected_s, 0.0)
+        lat_r, lon_r, h = geodesy.ecef_to_llh(s.rx_ecef_m)
+        lat, lon = np.degrees(lat_r), np.degrees(lon_r)
+        lines.append(
+            f"\t<solution><time>{t.isoformat()}</time>"
+            f"<lat>{lat:.9f}</lat><lon>{lon:.9f}</lon>"
+            f"<height>{h:.3f}</height>"
+            f"<x>{s.rx_ecef_m[0]:.3f}</x><y>{s.rx_ecef_m[1]:.3f}</y>"
+            f"<z>{s.rx_ecef_m[2]:.3f}</z>"
+            f"<clock_bias_s>{s.rx_clock_bias_s:.12e}</clock_bias_s>"
+            f"<gdop>{s.gdop:.2f}</gdop><n_sats>{s.n_sats}</n_sats>"
+            f"</solution>")
+    lines.append("</pvt_solutions>")
+    Path(path).write_text("\n".join(lines) + "\n")

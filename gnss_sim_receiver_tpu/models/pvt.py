@@ -35,6 +35,12 @@ class PvtConf:
     trop_model: str = "OFF"        # OFF | Saastamoinen
     iono_alpha: tuple = (0.0, 0.0, 0.0, 0.0)
     iono_beta: tuple = (0.0, 0.0, 0.0, 0.0)
+    # PVT.raim_fde (rtklib_pvt.cc -> rtklib raim_fde()): residual-driven
+    # fault detection + exclusion; a satellite whose pseudorange residual
+    # exceeds the threshold is excluded and the epoch re-solved
+    raim_fde: bool = False
+    raim_threshold_m: float = 30.0
+    raim_max_exclusions: int = 2
 
 
 @dataclasses.dataclass
@@ -51,6 +57,7 @@ class PvtSolution:
     vdop: float
     n_sats: int
     residuals_m: np.ndarray
+    used_channels: np.ndarray | None = None   # channel index per residual
 
 
 def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
@@ -247,4 +254,36 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
         rx_vel_ecef_ms=v[:3].copy(), rx_clock_drift_ss=v[3] / C,
         rx_time_corrected_s=obs.rx_time_s - x[3] / C,
         gdop=gdop, pdop=pdop, hdop=hdop, vdop=vdop,
-        n_sats=int(sel.sum()), residuals_m=resid_final)
+        n_sats=int(sel.sum()), residuals_m=resid_final,
+        used_channels=np.asarray(idx)[sel])
+
+
+def solve_pvt_raim(obs, prns, ephemerides: dict, conf: PvtConf,
+                   **kw) -> PvtSolution:
+    """RAIM fault detection and exclusion around solve_pvt (the
+    PVT.raim_fde=true path of rtklib_pvt.cc -> rtklib.cc raim_fde): when
+    the worst pseudorange residual exceeds conf.raim_threshold_m and
+    redundancy allows, exclude that satellite's channel and re-solve;
+    keep the exclusion only if it shrinks the worst residual."""
+    excl = list(kw.pop("exclude_channels", ()))
+    sol = solve_pvt(obs, prns, ephemerides, conf,
+                    exclude_channels=tuple(excl), **kw)
+    if not conf.raim_fde:
+        return sol
+    for _ in range(conf.raim_max_exclusions):
+        if not sol.valid or sol.n_sats <= 5 \
+                or sol.used_channels is None:
+            break
+        k = int(np.argmax(np.abs(sol.residuals_m)))
+        worst = float(abs(sol.residuals_m[k]))
+        if worst <= conf.raim_threshold_m:
+            break
+        trial = excl + [int(sol.used_channels[k])]
+        sol2 = solve_pvt(obs, prns, ephemerides, conf,
+                         exclude_channels=tuple(trial), **kw)
+        if (sol2.valid
+                and float(np.abs(sol2.residuals_m).max()) < worst):
+            excl, sol = trial, sol2
+        else:
+            break
+    return sol

@@ -30,7 +30,8 @@ from gnss_sim_receiver_tpu.models.control import (AcquisitionManager,
                                                   ChannelState)
 from gnss_sim_receiver_tpu.models.observables import (ObsConf,
                                                       ObservablesEngine)
-from gnss_sim_receiver_tpu.models.pvt import PvtConf, solve_pvt
+from gnss_sim_receiver_tpu.models.pvt import (PvtConf, solve_pvt,
+                                              solve_pvt_raim)
 from gnss_sim_receiver_tpu.models.telemetry import TelemetryDecoder
 from gnss_sim_receiver_tpu.models.tracking import TrackingConf, TrackingEngine
 
@@ -1468,7 +1469,8 @@ class ReceiverSession:
                 dt = epoch.rx_time_s - self.last_fix_time
                 fixed_clk = (self.last_fix.rx_clock_bias_s
                              + self.last_fix.rx_clock_drift_ss * dt)
-            sol = solve_pvt(epoch, prn_map, self.ephemerides, conf.pvt,
+            _solver = (solve_pvt_raim if conf.pvt.raim_fde else solve_pvt)
+            sol = _solver(epoch, prn_map, self.ephemerides, conf.pvt,
                             x0=None if self.last_fix is None
                             else self.last_fix.rx_ecef_m,
                             systems=sys_map,

@@ -122,3 +122,45 @@ def test_e5a_noncoherent_iq_caf():
         x_dwells, ci, cq, dops, fs, caf_bins=2))
     c2, d2, l2 = np.unravel_index(int(np.argmax(g2)), g2.shape)
     assert abs(l2 - l) <= 1 and abs(d2 - d) <= 2
+
+
+def test_quicksync_engine_variant():
+    """The acquisition ENGINE runs the QuickSync variant end to end
+    (conf string GPS_L1_CA_PCPS_QuickSync_Acquisition -> folded search +
+    ambiguity resolve -> absolute delay)."""
+    from gnss_sim_receiver_tpu.models.acquisition import (AcqConf,
+                                                          PcpsAcquisitionEngine)
+
+    delay_chips = 412.75
+    sat = SatelliteSignalParams(prn=9, cn0_db_hz=48.0, doppler_hz=-2250.0,
+                                delay_chips=delay_chips,
+                                nav_bits=np.ones(50, np.int8))
+    n = int(FS * 1e-3)
+    x = generate_baseband([sat], FS, 5 * n, noise=True, seed=21)
+    conf = AcqConf(fs_in=FS, doppler_max=5000.0, doppler_step=250.0,
+                   max_dwells=4, pfa=0.01, variant="quicksync",
+                   quicksync_fold=4)
+    eng = PcpsAcquisitionEngine(conf, prns=[9, 17])
+    res = eng.acquire(np.asarray(x[: 4 * n]))
+    assert bool(res.detected[0]) and not bool(res.detected[1])
+    assert abs(res.doppler_hz[0] + 2250.0) <= 250.0
+    exp = delay_chips * FS / CODE_RATE
+    assert abs(float(res.delay_samples[0]) - exp) <= 2.0
+
+
+def test_quicksync_factory_string():
+    from gnss_sim_receiver_tpu.models.factory import receiver_conf_from_config
+    from gnss_sim_receiver_tpu.utils.config import InMemoryConfiguration
+
+    c = InMemoryConfiguration()
+    c.set_property("GNSS-SDR.internal_fs_sps", "2000000")
+    c.set_property("Channels_1C.count", "4")
+    c.set_property("Channel.signal", "1C")
+    c.set_property("Acquisition_1C.implementation",
+                   "GPS_L1_CA_PCPS_QuickSync_Acquisition")
+    c.set_property("Acquisition_1C.folding_factor", "2")
+    c.set_property("Tracking_1C.implementation",
+                   "GPS_L1_CA_DLL_PLL_Tracking")
+    rc = receiver_conf_from_config(c)
+    assert rc.acq.variant == "quicksync"
+    assert rc.acq.quicksync_fold == 2

@@ -130,3 +130,4 @@ def test_write_outputs_config_driven(tmp_path):
     _write_outputs(c, run)
     for name in ("o.nmea", "o.kml", "o.gpx", "o.geojson"):
         assert (tmp_path / name).exists(), name
+

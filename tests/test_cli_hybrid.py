@@ -81,3 +81,28 @@ def test_cli_hybrid_run_writes_multignss_rinex(tmp_path, capsys,
     assert any(ln.startswith("G0") or ln.startswith("G1")
                for ln in nav.splitlines())
     assert any(ln.startswith("E1") for ln in nav.splitlines())
+
+
+def test_cli_rtcm_output(tmp_path, hybrid_capture):
+    """PVT.rtcm_output_file_enabled (rtcm_printer role): the run writes
+    a decodable RTCM 3.x stream — station 1005, ephemeris and MSM
+    frames — from the rover's own observables."""
+    from gnss_sim_receiver_tpu.models.rtcm import BitReader, iter_frames
+
+    x, _ = hybrid_capture
+    cap = tmp_path / "cap.ishort"
+    write_samples(cap, x, "ishort", scale=200.0)
+    conf = tmp_path / "rx.conf"
+    conf.write_text(textwrap.dedent(CONF.format(
+        fs=int(FS), filename=cap, obs_path=tmp_path / "o.obs",
+        nav_path=tmp_path / "o.nav"))
+        + f"PVT.rtcm_output_file_enabled=true\n"
+          f"PVT.rtcm_output_file_path={tmp_path}/out.rtcm\n"
+          f"PVT.rtcm_station_id=732\n")
+    rc = main([f"--config_file={conf}"])
+    assert rc == 0
+    data = (tmp_path / "out.rtcm").read_bytes()
+    msgs = [BitReader(p).u(12) for p in iter_frames(data)]
+    assert 1005 in msgs
+    assert 1019 in msgs                       # GPS ephemeris
+    assert any(1071 <= m <= 1077 for m in msgs)   # GPS MSM

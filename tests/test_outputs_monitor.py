@@ -153,3 +153,41 @@ def test_nav_message_udp_monitor():
     assert m.signal == "1C"
     assert len(m.nav_message) == 300
     assert m.nav_message.startswith("10001011")
+
+
+def test_output_enabled_aliases_and_xml(tmp_path):
+    """Reference key spellings (PVT.kml_output_enabled /
+    xml_output_enabled / *_rate_ms) drive the output products
+    (rtklib_pvt.cc adapter key set)."""
+    from types import SimpleNamespace
+
+    from gnss_sim_receiver_tpu.__main__ import _write_outputs
+    from gnss_sim_receiver_tpu.utils.config import InMemoryConfiguration
+
+    rx = geodesy.llh_to_ecef(np.radians(40.0), np.radians(-75.0), 100.0)
+    sols = [PvtSolution(
+        valid=True, rx_ecef_m=rx, rx_clock_bias_s=-0.06,
+        rx_vel_ecef_ms=np.zeros(3), rx_clock_drift_ss=1e-9,
+        rx_time_corrected_s=345600.0 + 0.02 * k,
+        gdop=2.5, pdop=2.0, hdop=1.2, vdop=1.6, n_sats=6,
+        residuals_m=np.zeros(6)) for k in range(12)]
+    run = SimpleNamespace(solutions=sols, observation_epochs=[],
+                          ephemerides={}, channel_prns=[],
+                          channel_systems=[])
+    conf = InMemoryConfiguration()
+    conf.set_property("PVT.kml_output_enabled", "true")
+    conf.set_property("PVT.kml_output_path", str(tmp_path / "a.kml"))
+    conf.set_property("PVT.kml_rate_ms", "100")
+    conf.set_property("PVT.output_rate_ms", "20")
+    conf.set_property("PVT.xml_output_enabled", "true")
+    conf.set_property("PVT.xml_output_path", str(tmp_path / "a.xml"))
+    _write_outputs(conf, run)
+    assert (tmp_path / "a.kml").exists()
+    xml = (tmp_path / "a.xml").read_text()
+    assert "<pvt_solutions>" in xml and "<gdop>" in xml
+    assert xml.count("<solution>") == len(run.solutions)
+    # kml rate 100 ms vs 20 ms solver rate -> every 5th fix
+    kml = (tmp_path / "a.kml").read_text()
+    n_coords = len([ln for ln in kml.splitlines() if "," in ln
+                    and "xml" not in ln])
+    assert n_coords == (len(run.solutions) + 4) // 5

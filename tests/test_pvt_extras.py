@@ -97,3 +97,37 @@ def test_observables_mat_dump(tmp_path):
     assert m["Pseudorange_m"].shape == (2, 4)
     assert m["valid_pseudoranges"][0].all()
     assert not m["valid_pseudoranges"][1].any()
+
+
+def test_raim_fde_excludes_faulty_satellite():
+    """PVT.raim_fde (rtklib raim_fde role): a 150 m pseudorange fault on
+    one satellite is detected by its residual and excluded; the fix
+    returns to meter-level while the plain solver is dragged off."""
+    import numpy as np
+
+    from gnss_sim_receiver_tpu.models.pvt import (PvtConf, solve_pvt,
+                                                  solve_pvt_raim)
+    from gnss_sim_receiver_tpu.nav.ephemeris import make_sky_constellation
+    from gnss_sim_receiver_tpu.utils import geodesy
+    from tests.test_ppp import T0, _epoch
+
+    rng = np.random.default_rng(5)
+    rx_true = geodesy.llh_to_ecef(np.radians(40.0), np.radians(-75.0),
+                                  100.0)
+    ephs_l = make_sky_constellation(40.0, -75.0, toe=T0 + 600)[:8]
+    prns = [e.prn for e in ephs_l]
+    ephs = {e.prn: e for e in ephs_l}
+    amb = np.zeros(len(ephs_l))
+    obs = _epoch(ephs_l, T0 + 900.0, rx_true, 1e-4, amb, rng,
+                 code_sig=0.5)
+    # inject a fault on channel 2
+    obs.pseudorange_m[2] += 150.0
+    conf = PvtConf(raim_fde=True, raim_threshold_m=30.0)
+    plain = solve_pvt(obs, prns, ephs, PvtConf())
+    raim = solve_pvt_raim(obs, prns, ephs, conf)
+    assert plain.valid and raim.valid
+    err_plain = np.linalg.norm(plain.rx_ecef_m - rx_true)
+    err_raim = np.linalg.norm(raim.rx_ecef_m - rx_true)
+    assert err_raim < 5.0, err_raim
+    assert err_raim < 0.5 * err_plain
+    assert raim.n_sats == plain.n_sats - 1
