@@ -564,6 +564,9 @@ class _ChainRt:
         self.total = 0
         self.decim = 1                # set by the receiver (tick stride)
         self.sbas_consumed = 0        # messages already fed to corrections
+        self.pending_resets = []      # (channel, prn) TLM/obs resets to
+        #                               apply after the in-flight chunk
+        #                               drains (pipelined arm ordering)
         # per-channel epochs since start_tracking (block-kernel gate:
         # pull-in must finish on the per-epoch kernel)
         self.epochs_run = np.zeros(n, np.int64)
@@ -777,6 +780,16 @@ class ReceiverSession:
         #                               sample)
         self.chunk_mult = 1
         self._standby = False
+        # pipelined batch mode: each iterate DISPATCHES its chunks, then
+        # pulls + host-processes the PREVIOUS iterate's — the transfer
+        # latency and host work of chunk k hide behind chunk k+1's
+        # device execution (the tracking engines chain state on-device,
+        # see TrackingEngine._chain_dispatch).  Event handling
+        # (lock loss, re-acquisition, ramp) lags one chunk, which only
+        # delays reactions by one chunk boundary.  Streaming sessions
+        # stay synchronous (reaction latency matters there).
+        self._pipeline = False
+        self._inflight = []
         # per-channel telemetry fail-safe state (global channel index)
         self._trk_start_abs = np.full(n_total, -1, np.int64)
         self._tow_seen = np.zeros(n_total, bool)
@@ -843,6 +856,7 @@ class ReceiverSession:
         if missing:
             raise ValueError(f"no stream for RF channel(s) {missing}")
         self._array_mode = True
+        self._pipeline = True
         # primary-domain end: the shortest stream in TIME
         self._end_abs = int(min(
             self._len_rf[rf] / self._rf_fs(rf) for rf in self._x_rf)
@@ -912,6 +926,7 @@ class ReceiverSession:
         self._trk_start_abs[:] = -1
         self._tow_seen[:] = False
         self.chunk_mult = 1
+        self._inflight = []   # device results of parked channels are moot
 
     def standby(self) -> None:
         """Park every channel; inflow is discarded until a *start."""
@@ -1061,8 +1076,10 @@ class ReceiverSession:
     def _pump(self, final: bool) -> None:
         if self._standby:
             return
-        while self._ready(final):
+        while self._ready(final) or self._inflight:
             if not self._iterate(final):
+                if self._inflight:
+                    continue   # drain in-flight chunks before stopping
                 break   # data-starved (a late-started channel needs more
                 #         samples than the buffered totals suggest)
 
@@ -1213,9 +1230,19 @@ class ReceiverSession:
                                                 + res.delay_samples[k])
                             rt.trk.start_tracking(
                                 c, float(res.doppler_hz[k]), start_abs)
-                            rt.tlm.reset_channel(
-                                c, prn, epoch_base=rt.epoch_base[c])
-                            self.obs_eng.reset_channel(rt.offset + c)
+                            # pipelined mode: a chunk dispatched BEFORE
+                            # this arm is still in flight and its rows
+                            # (masked for this channel) will be fed to
+                            # the telemetry decoder first — the TLM/obs
+                            # reset must happen AFTER those rows so the
+                            # epoch_base snapshot aligns bit edges with
+                            # the channel's real first rows
+                            if any(frt is rt for frt, *_ in self._inflight):
+                                rt.pending_resets.append((c, prn))
+                            else:
+                                rt.tlm.reset_channel(
+                                    c, prn, epoch_base=rt.epoch_base[c])
+                                self.obs_eng.reset_channel(rt.offset + c)
                             rt.epochs_run[c] = 0
                             g = rt.offset + c
                             self._trk_start_abs[g] = (
@@ -1279,10 +1306,26 @@ class ReceiverSession:
                                                 use_blocks=use_blocks)))
 
         # ---- phase 2: pull + host-process every chain's chunk --------------
+        # (pipelined mode: this iterate's dispatches go in flight and the
+        # PREVIOUS iterate's chunks are consumed instead)
         _t1 = _time.perf_counter()
+        if self._pipeline or self._inflight:
+            staged, self._inflight = self._inflight, staged
         for rt, tracking, n, handle in staged:
             spec = rt.spec
             outs = rt.trk.process_end(handle)
+            # pipelined arm race: a channel (re)armed after this chunk
+            # was dispatched — its rows predate the arm; hide them from
+            # telemetry/observables/cursor logic (the device state was
+            # re-armed on top of the chained state, so the NEXT chunk is
+            # correct)
+            stale = outs.pop("stale_channels", None)
+            if stale is not None and stale.any():
+                outs = dict(outs)
+                outs["valid"] = outs["valid"] & ~stale[None, :]
+                if "valid_full" in outs:
+                    outs["valid_full"] = (outs["valid_full"]
+                                          & ~stale[None, :])
             if _dbg:
                 print(f"[tim] n={n} dispatch={_t1 - _t0:.3f}s "
                       f"pull={_time.perf_counter() - _t1:.3f}s",
@@ -1290,7 +1333,9 @@ class ReceiverSession:
             for c in range(spec.n_channels):
                 rt.epoch_base[c] += n
             if tracking:
-                rt.epochs_run[list(tracking)] += n
+                inc = [c for c in tracking
+                       if stale is None or not stale[c]]
+                rt.epochs_run[inc] += n
             if self.collected is not None:
                 self.collected.append((spec.signal, outs))
             # a channel feeds OBSERVABLES only once its tracking loops
@@ -1390,6 +1435,16 @@ class ReceiverSession:
                             self.ephemerides[("SBAS", prn)] = \
                                 SbasGeoEphemeris(prn, nav)
                 rt.sbas_consumed = len(msgs)
+
+            # pipelined arm ordering: the stale chunk's rows are in —
+            # NOW reset the decoders so their epoch reference matches
+            # the channel's first post-arm rows (next chunk)
+            if rt.pending_resets:
+                for c, prn in rt.pending_resets:
+                    rt.tlm.reset_channel(c, prn,
+                                         epoch_base=rt.epoch_base[c])
+                    self.obs_eng.reset_channel(rt.offset + c)
+                rt.pending_resets = []
 
             # --- loss-of-lock events + TLM-timeout fail-safe ---------------
             quiet = self._handle_lock_loss(rt, tracking) and quiet

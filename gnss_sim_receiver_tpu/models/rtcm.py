@@ -323,6 +323,8 @@ _SIG_ID = {
     ("Galileo", "1B"): 4, ("Galileo", "5X"): 22, ("Galileo", "7X"): 14,
     ("Galileo", "E6"): 10,
     ("BeiDou", "B1"): 2, ("BeiDou", "B3"): 8,
+    ("GLONASS", "1G"): 2, ("GLONASS", "2G"): 8,   # L1/L2 C/A (3.5-96)
+    ("SBAS", "S1"): 2,                            # L1 C/A (3.5-102)
 }
 _SIG_NAME = {(s, i): n for (s, n), i in _SIG_ID.items()}
 
@@ -334,7 +336,19 @@ _SIG_FREQ = {
     ("Galileo", "5X"): 1176.45e6, ("Galileo", "7X"): 1207.14e6,
     ("Galileo", "E6"): 1278.75e6,
     ("BeiDou", "B1"): 1561.098e6, ("BeiDou", "B3"): 1268.52e6,
+    ("SBAS", "S1"): constants.GPS_L1_FREQ_HZ,
 }
+
+# GLONASS FDMA (slot k in -7..+6): carrier = base + k * spacing; the MSM
+# extended-satellite-info field carries k+7 (RTCM 10403.3 table 3.5-77)
+_GLO_FDMA = {"1G": (1602.0e6, 562.5e3), "2G": (1246.0e6, 437.5e3)}
+
+
+def _sig_lambda(system: str, signal: str, freq_slot: int = 0) -> float:
+    if system == "GLONASS":
+        base, step = _GLO_FDMA[signal]
+        return C / (base + freq_slot * step)
+    return C / _SIG_FREQ[(system, signal)]
 
 
 @dataclasses.dataclass
@@ -348,6 +362,7 @@ class MsmObservation:
     doppler_hz: float | None          # None in MSM4 (no rate fields)
     cn0_db_hz: float
     lock_s: float = 100.0
+    freq_slot: int = 0                # GLONASS FDMA channel (-7..+6)
 
 
 @dataclasses.dataclass
@@ -395,19 +410,23 @@ def encode_msm(system: str, tow_ms: int, obs: list, *, msm: int = 7,
         w.u((int(rough_q[s] * 1024.0) >> 10) & 0xFF, 8)   # integer ms
     if msm == 7:
         for s in sats:
-            w.u(0, 4)                                     # ext sat info
+            if system == "GLONASS":
+                o = next(cell[(s, g)] for g in sigs if (s, g) in cell)
+                w.u(o.freq_slot + 7, 4)       # FDMA channel (3.5-77)
+            else:
+                w.u(0, 4)                                 # ext sat info
     for s in sats:
         w.u(int(rough_q[s] * 1024.0) & 0x3FF, 10)
     if msm == 7:
         for s in sats:
             o = next(cell[(s, g)] for g in sigs if (s, g) in cell)
-            lam = C / _SIG_FREQ[(system, o.signal)]
+            lam = _sig_lambda(system, o.signal, o.freq_slot)
             rate = (-o.doppler_hz * lam) if o.doppler_hz is not None else 0.0
             w.s(int(round(rate)), 14)
 
     # per-cell fine values
     def fine_fields(o, s):
-        lam = C / _SIG_FREQ[(o.system, o.signal)]
+        lam = _sig_lambda(o.system, o.signal, o.freq_slot)
         pr_ms = o.pseudorange_m / C * 1e3
         ph_ms = o.carrier_phase_cycles * lam / C * 1e3
         return pr_ms - rough_q[s], ph_ms - rough_q[s], lam
@@ -428,7 +447,7 @@ def encode_msm(system: str, tow_ms: int, obs: list, *, msm: int = 7,
             w.u(int(round(cell[(s, g)].cn0_db_hz / _P2(-4))) & 0x3FF, 10)
         for s, g in present:
             o = cell[(s, g)]
-            lam = C / _SIG_FREQ[(o.system, o.signal)]
+            lam = _sig_lambda(o.system, o.signal, o.freq_slot)
             rate = (-o.doppler_hz * lam) if o.doppler_hz is not None else 0.0
             fine = rate - int(round(rate))
             w.s(int(round(fine / 1e-4)), 15)
@@ -462,9 +481,12 @@ def decode_msm(payload: bytes) -> MsmEpoch:
     present = [cells[i] for i in range(len(cells)) if r.u(1)]
 
     rough_int = {s: r.u(8) for s in sats}
+    slots = {s: 0 for s in sats}
     if msm == 7:
         for s in sats:
-            r.u(4)
+            ext = r.u(4)
+            if system == "GLONASS":
+                slots[s] = ext - 7
     rough_mod = {s: r.u(10) for s in sats}
     rates = {}
     if msm == 7:
@@ -491,7 +513,7 @@ def decode_msm(payload: bytes) -> MsmEpoch:
         signal = _SIG_NAME.get((system, g))
         if signal is None:
             continue
-        lam = C / _SIG_FREQ[(system, signal)]
+        lam = _sig_lambda(system, signal, slots[s])
         pr_m = (rough_q[s] + dpr[i]) * 1e-3 * C
         ph_m = (rough_q[s] + dph[i]) * 1e-3 * C
         dop = None
@@ -500,7 +522,7 @@ def decode_msm(payload: bytes) -> MsmEpoch:
         obs.append(MsmObservation(
             prn=s, system=system, signal=signal, pseudorange_m=pr_m,
             carrier_phase_cycles=ph_m / lam, doppler_hz=dop,
-            cn0_db_hz=cn0[i], lock_s=lock[i]))
+            cn0_db_hz=cn0[i], lock_s=lock[i], freq_slot=slots[s]))
     return MsmEpoch(tow_ms=tow_ms, system=system, obs=obs)
 
 

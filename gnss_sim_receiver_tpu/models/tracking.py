@@ -874,6 +874,21 @@ class TrackingEngine:
         self.full_outputs = True
         self._pos0 = jnp.zeros(self.n_channels, jnp.int32)  # cached rezero
         self.abs_start = np.zeros(self.n_channels, np.int64)  # abs sample of pos==0
+        # --- chunk chaining / pipelining state --------------------------
+        # After the first dispatch, state.pos is DEVICE-authoritative
+        # (relative to _chain_base); process_begin rebases it with an
+        # exact integer shift instead of overwriting from the host
+        # mirror, so a second chunk can be dispatched BEFORE the first
+        # chunk's pull (the receiver's pipelined batch mode).  abs_start
+        # then holds code-frequency-aware PREDICTIONS, corrected to the
+        # pulled exact positions as pulls drain.
+        self._chain_base = None       # window base state.pos refers to
+        self._armed_since: set = set()  # channels re-armed since last begin
+        self._armed_seq = np.full(self.n_channels, -1, np.int64)
+        self._abs_f = np.zeros(self.n_channels, np.float64)
+        self._code_freq_host = np.full(self.n_channels,
+                                       conf.code_rate_cps, np.float64)
+        self._dispatch_seq = 0
         # host mirrors of the scan-state flags, refreshed from the packed
         # per-chunk transfer — the FSM never pulls device scalars
         self.active_host = np.zeros(self.n_channels, bool)
@@ -924,6 +939,10 @@ class TrackingEngine:
         self.state = _arm_channel(self.state, ch, float(doppler_hz),
                                   float(code_freq0))
         self.abs_start[ch] = int(abs_code_start_sample)
+        self._abs_f[ch] = float(abs_code_start_sample)
+        self._code_freq_host[ch] = code_freq0
+        self._armed_since.add(ch)
+        self._armed_seq[ch] = self._dispatch_seq
         self.active_host[ch] = True
         self.lock_lost_host[ch] = False
 
@@ -1064,7 +1083,21 @@ class TrackingEngine:
                 else _window_slice(x, jnp.int32(start0), win_len)
             x_abs_start = x_abs_start + start0
             rel = np.where(active, rel - start0, 0)
-        state = self.state._replace(pos=jnp.asarray(rel, jnp.int32))
+        if self._chain_base is None:
+            state = self.state._replace(pos=jnp.asarray(rel, jnp.int32))
+        else:
+            # exact device-side rebase from the previous window base;
+            # only channels (re)armed since the last dispatch take the
+            # host value (their abs_start was just set exactly)
+            pos_dev = self.state.pos + jnp.int32(self._chain_base
+                                                 - x_abs_start)
+            if self._armed_since:
+                mask = np.zeros(self.n_channels, bool)
+                mask[list(self._armed_since)] = True
+                pos_dev = jnp.where(jnp.asarray(mask),
+                                    jnp.asarray(rel, jnp.int32), pos_dev)
+            state = self.state._replace(pos=pos_dev)
+        self._armed_since.clear()
         x_dev = xfer.device_put_complex(x)
         if use_blk:
             from gnss_sim_receiver_tpu.models import tracking_block as tb
@@ -1075,8 +1108,9 @@ class TrackingEngine:
                 self._codes_fft, self.taps, x_dev, state,
                 sec_code=self._sec_code_dev,
                 data_codes_fft=self._data_codes_fft)
+            meta = self._chain_dispatch(new_state, x_abs_start, n_epochs)
             return ("decim", new_state, buf, int(x_abs_start),
-                    int(n_epochs), int(decim))
+                    int(n_epochs), int(decim), meta)
         if decim is not None and decim > 1 and not self.full_outputs:
             new_state, buf = track_chunk_packed_decim(
                 self.conf, int(n_epochs), int(decim), self.codes,
@@ -1084,20 +1118,41 @@ class TrackingEngine:
             # NOTE: no copy_to_host_async here — on the remote-TPU
             # transport the "async" copy path runs ~300x slower than a
             # plain blocking pull and np.asarray then waits on it
+            meta = self._chain_dispatch(new_state, x_abs_start, n_epochs)
             return ("decim", new_state, buf, int(x_abs_start),
-                    int(n_epochs), int(decim))
+                    int(n_epochs), int(decim), meta)
         new_state, buf = track_chunk_packed(
             self.conf, int(n_epochs), self.codes, self.taps, x_dev, state,
             full_outputs=self.full_outputs, data_codes=self.data_codes)
         # no copy_to_host_async — see the decim branch note
-        return (new_state, buf, int(x_abs_start), int(n_epochs))
+        meta = self._chain_dispatch(new_state, x_abs_start, n_epochs)
+        return ("full", new_state, buf, int(x_abs_start), int(n_epochs),
+                meta)
+
+    def _chain_dispatch(self, new_state, x_abs_start: int,
+                        n_epochs: int) -> dict:
+        """Advance the engine to the just-dispatched chunk: state becomes
+        the (lazy) post-chunk device state; abs_start advances by a
+        code-frequency-aware prediction (exact-ified later by the pull).
+        Returns the handle metadata process_end needs."""
+        self.state = new_state            # pos stays window-relative
+        self._chain_base = int(x_abs_start)
+        self._dispatch_seq += 1
+        act = self.active_host
+        s_per = (self.conf.fs * self.conf.code_length_chips
+                 / self._code_freq_host)
+        self._abs_f = np.where(act, self._abs_f + n_epochs * s_per,
+                               self._abs_f)
+        self.abs_start = np.round(self._abs_f).astype(np.int64)
+        return {"seq": self._dispatch_seq,
+                "pred_end": self._abs_f.copy()}
 
     def process_end(self, handle):
         """Materialize a process_begin handle: one blocking pull, then the
         host-side unpacking/bookkeeping."""
         if handle[0] == "decim":
             return self._process_end_decim(handle)
-        new_state, buf, x_abs_start, n_epochs = handle
+        _, new_state, buf, x_abs_start, n_epochs, meta = handle
         t, c = int(n_epochs), self.n_channels
         raw = np.ascontiguousarray(np.asarray(buf))  # THE one transfer
         keys = _PACK_F32_FULL if self.full_outputs else _PACK_F32_LEAN
@@ -1112,21 +1167,30 @@ class TrackingEngine:
         pos_start = ibuf[: t * c].reshape(t, c).astype(np.int64)
         n_samples = ibuf[t * c: 2 * t * c].reshape(t, c).astype(np.int64)
         new_pos = ibuf[2 * t * c: 2 * t * c + c].astype(np.int64)
-        self.active_host = ibuf[2 * t * c + c: 2 * t * c + 2 * c] > 0
-        self.lock_lost_host = ibuf[2 * t * c + 2 * c:] > 0
+        # channels (re)armed AFTER this chunk's dispatch: the pulled
+        # flags describe the channel's PREVIOUS life — keep the host's
+        # post-arm values (else a stale pull deactivates a fresh channel
+        # and the next window excludes it)
+        _stale = self._armed_seq >= meta["seq"]
+        self.active_host = np.where(
+            _stale, self.active_host,
+            ibuf[2 * t * c + c: 2 * t * c + 2 * c] > 0)
+        self.lock_lost_host = np.where(
+            _stale, self.lock_lost_host,
+            ibuf[2 * t * c + 2 * c:] > 0)
         outs["pos_start"] = pos_start
         outs["n_samples"] = n_samples
         outs["sample_counter"] = pos_start + x_abs_start + n_samples
-        # rebase back: abs position of next epoch start
-        self.abs_start = new_pos + x_abs_start
-        self.state = new_state._replace(
-            pos=self._pos0)
+        outs["stale_channels"] = self._armed_seq >= meta["seq"]
+        self._apply_pull(meta, new_pos + x_abs_start,
+                         outs["carrier_doppler_hz"][-1]
+                         if "carrier_doppler_hz" in outs else None)
         return outs
 
     def _process_end_decim(self, handle):
         """Materialize a decimated handle (track_chunk_packed_decim): ONE
         pull, then host-side unpacking."""
-        _, new_state, buf, x_abs_start, n_epochs, decim = handle
+        _, new_state, buf, x_abs_start, n_epochs, decim, meta = handle
         t, c = int(n_epochs), self.n_channels
         rows = np.arange(decim - 1, t, decim)
         td = len(rows)
@@ -1139,8 +1203,13 @@ class TrackingEngine:
         ibuf = raw[nf * td * c:]
         sc = ibuf[: td * c].reshape(td, c).astype(np.int64)
         new_pos = ibuf[td * c: td * c + c].astype(np.int64)
-        self.active_host = ibuf[td * c + c: td * c + 2 * c] > 0
-        self.lock_lost_host = ibuf[td * c + 2 * c: td * c + 3 * c] > 0
+        _stale = self._armed_seq >= meta["seq"]   # see process_end note
+        self.active_host = np.where(
+            _stale, self.active_host,
+            ibuf[td * c + c: td * c + 2 * c] > 0)
+        self.lock_lost_host = np.where(
+            _stale, self.lock_lost_host,
+            ibuf[td * c + 2 * c: td * c + 3 * c] > 0)
         scale = ibuf[td * c + 3 * c:].view(np.float32)
         outs = {k: fbuf[i] for i, k in enumerate(_DECIM_F32)}
         valid_full = sym != np.int8(-128)
@@ -1152,6 +1221,36 @@ class TrackingEngine:
         outs["valid"] = valid_full[rows]                   # [Td, C]
         outs["rows"] = rows
         outs["sample_counter"] = sc + x_abs_start
-        self.abs_start = new_pos + x_abs_start
-        self.state = new_state._replace(pos=self._pos0)
+        # channels (re)armed AFTER this chunk was dispatched: the rows
+        # belong to the channel's PREVIOUS life — the consumer must
+        # ignore them (pipelined mode arm race)
+        outs["stale_channels"] = self._armed_seq >= meta["seq"]
+        self._apply_pull(meta, new_pos + x_abs_start,
+                         outs["carrier_doppler_hz"][-1] if td else None)
         return outs
+
+    def _apply_pull(self, meta: dict, exact_end: np.ndarray,
+                    last_doppler) -> None:
+        """Fold one chunk's pulled exact end positions back into the
+        prediction chain: the prediction error for THAT chunk shifts the
+        whole accumulated prediction (later dispatched chunks advanced
+        from it), and the code-frequency mirror refreshes for the next
+        prediction.  self.state is NOT touched here — process_begin owns
+        it (it may already be several chunks ahead)."""
+        # a channel (re)armed AFTER this chunk was dispatched has a
+        # freshly-set exact position — this (older) pull must not
+        # "correct" it
+        ok = self.active_host & (self._armed_seq < meta["seq"])
+        err = np.where(ok, exact_end.astype(np.float64)
+                       - meta["pred_end"], 0.0)
+        self._abs_f = self._abs_f + err
+        self.abs_start = np.round(self._abs_f).astype(np.int64)
+        if last_doppler is not None:
+            dop = np.asarray(last_doppler, np.float64)
+            fresh = ok & np.isfinite(dop)
+            self._code_freq_host = np.where(
+                fresh,
+                self.conf.code_rate_cps
+                * (1.0 + (dop - self.conf.doppler_bias_hz)
+                   / self.conf.carrier_freq_hz),
+                self._code_freq_host)

@@ -134,3 +134,48 @@ def test_tcp_transport():
         srv.close()
     assert got == data
     assert len(list(rtcm.iter_frames(got))) == 3
+
+
+def test_msm7_glonass_fdma_roundtrip():
+    """GLONASS MSM7 (1087): the FDMA channel rides the extended
+    satellite info field (k+7) and sets the per-satellite wavelength;
+    phase and Doppler survive the round trip at nonzero slots."""
+    obs = [rtcm.MsmObservation(
+               prn=5, system="GLONASS", signal="1G",
+               pseudorange_m=2.1234567e7,
+               carrier_phase_cycles=2.1234567e7 / rtcm._sig_lambda(
+                   "GLONASS", "1G", 3),
+               doppler_hz=1234.5, cn0_db_hz=44.5, lock_s=60.0,
+               freq_slot=3),
+           rtcm.MsmObservation(
+               prn=12, system="GLONASS", signal="1G",
+               pseudorange_m=2.3456789e7,
+               carrier_phase_cycles=2.3456789e7 / rtcm._sig_lambda(
+                   "GLONASS", "1G", -4),
+               doppler_hz=-2500.25, cn0_db_hz=41.0, lock_s=60.0,
+               freq_slot=-4)]
+    payload = rtcm.encode_msm("GLONASS", 34567000, obs, msm=7)
+    ep = rtcm.decode_msm(payload)
+    assert ep.system == "GLONASS" and len(ep.obs) == 2
+    by_prn = {o.prn: o for o in ep.obs}
+    assert by_prn[5].freq_slot == 3 and by_prn[12].freq_slot == -4
+    for o in obs:
+        b = by_prn[o.prn]
+        assert abs(b.pseudorange_m - o.pseudorange_m) < 5e-4
+        assert abs(b.carrier_phase_cycles - o.carrier_phase_cycles) \
+            * rtcm._sig_lambda("GLONASS", "1G", o.freq_slot) < 1e-3
+        assert abs(b.doppler_hz - o.doppler_hz) < 0.5
+
+
+def test_msm7_sbas_roundtrip():
+    """SBAS MSM7 (1107) encodes/decodes the S1 signal."""
+    obs = [rtcm.MsmObservation(
+        prn=20, system="SBAS", signal="S1", pseudorange_m=3.8123456e7,
+        carrier_phase_cycles=3.8123456e7 * rtcm.GPS_L1_FREQ /
+        rtcm.C if hasattr(rtcm, "GPS_L1_FREQ") else 3.8123456e7 /
+        rtcm._sig_lambda("SBAS", "S1"),
+        doppler_hz=150.0, cn0_db_hz=38.5, lock_s=30.0)]
+    payload = rtcm.encode_msm("SBAS", 12345000, obs, msm=7)
+    ep = rtcm.decode_msm(payload)
+    assert ep.system == "SBAS" and len(ep.obs) == 1
+    assert abs(ep.obs[0].pseudorange_m - obs[0].pseudorange_m) < 5e-4
