@@ -1228,6 +1228,38 @@ class ReceiverSession:
                             else:
                                 start_abs = int(acq_base + res.samplestamp
                                                 + res.delay_samples[k])
+                            # arm at the CHAIN FRONT, not at the (possibly
+                            # lagging) acquisition cursor: the acquisition
+                            # fixes the code phase at its own samplestamp;
+                            # advancing by an integer number of
+                            # Doppler-corrected code periods places the
+                            # same phase at the position the next chunk
+                            # starts from.  Without this, a channel armed
+                            # behind the front (pipelined batch mode lags
+                            # the cursor by a whole chunk) trails every
+                            # other channel FOREVER — its sample_counter
+                            # caps the observables tick bound a chunk
+                            # short and its unprocessed tail truncates
+                            # telemetry (the r4 batch-vs-streaming fix
+                            # divergence and the PRN 9/10 late-ephemeris
+                            # e2e failure).  Extrapolation error is the
+                            # code-Doppler uncertainty (~0.02 chips/s at
+                            # a 31 Hz grid error) — absorbed by the DLL.
+                            act_now = rt.trk.active_host
+                            if act_now.any():
+                                front = int(rt.trk.abs_start[act_now].max())
+                                if front > start_abs:
+                                    cf0 = (spec.trk.code_rate_cps
+                                           * (1.0 + (float(res.doppler_hz[k])
+                                                     - spec.trk.doppler_bias_hz)
+                                              / spec.trk.carrier_freq_hz))
+                                    s_per = (self._chain_fs(rt)
+                                             * spec.trk.code_length_chips
+                                             / cf0)
+                                    kper = int(np.ceil(
+                                        (front - start_abs) / s_per))
+                                    start_abs = int(round(start_abs
+                                                          + kper * s_per))
                             rt.trk.start_tracking(
                                 c, float(res.doppler_hz[k]), start_abs)
                             # pipelined mode: a chunk dispatched BEFORE
@@ -1245,8 +1277,7 @@ class ReceiverSession:
                                 self.obs_eng.reset_channel(rt.offset + c)
                             rt.epochs_run[c] = 0
                             g = rt.offset + c
-                            self._trk_start_abs[g] = (
-                                acq_base + res.samplestamp)
+                            self._trk_start_abs[g] = start_abs
                             self._tow_seen[g] = False
 
             # --- tracking chunk --------------------------------------------
@@ -1344,8 +1375,11 @@ class ReceiverSession:
             # poison PVT/RTK (the reference gates on lock quality the
             # same way); telemetry still sees every epoch
             settle = rt.spec.trk.fll_pullin_epochs + 2500
-            not_ready = [c for c in tracking
-                         if rt.epochs_run[c] - n < settle]
+            # per-channel epoch count BEFORE this chunk: gating below is
+            # row-exact (epoch-index granular), so the release instant is
+            # the same whatever the chunk sizes — batch (growing chunks)
+            # and streaming (feed-sized chunks) stay tick-identical
+            eb_settle = rt.epochs_run - n
             rows = outs.get("rows")
             if rows is not None and len(rows) == 0:
                 # tail chunk shorter than one tick stride: feed the
@@ -1375,13 +1409,15 @@ class ReceiverSession:
             else:
                 tlm_res = rt.tlm.process(outs)
                 tlm_obs = tlm_res
-            if not_ready:
+            row_e = (rows if rows is not None
+                     else np.arange(outs["valid"].shape[0]))
+            gate = (row_e[:, None] + eb_settle[None, :]) < settle
+            if (gate & outs["valid"]).any():
                 # gate a COPY for the observables push only — the cursor /
                 # tick-bound / Doppler-map logic below must keep seeing
                 # the device's real validity or acquisition stalls on a
                 # frozen cursor
-                ov = outs["valid"].copy()
-                ov[:, not_ready] = False
+                ov = outs["valid"] & ~gate
                 outs = dict(outs, valid=ov, valid_ungated=outs["valid"])
             for c, eph in tlm_res.new_ephemerides:
                 self.ephemerides[rt.eph_key(eph.prn)] = eph
