@@ -133,7 +133,8 @@ def galileo_e1b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
     trk_kw = dict(
         fs=fs, code_rate_cps=sig.sc_rate, code_length_chips=sig.sc_length,
         carrier_freq_hz=sig.carrier_freq_hz, early_late_space_chips=0.5,
-        enable_fll_pullin=False, fll_pullin_epochs=100)
+        enable_fll_pullin=True, fll_decision_directed=True,
+        fll_pullin_epochs=100)
     data_provider = None
     if track_pilot:
         trk_kw.update(
@@ -168,7 +169,7 @@ def gps_l2c_chain(fs: float, prns=tuple(range(1, 33)), n_channels=4,
         code_length_chips=sig.code_length_chips,
         carrier_freq_hz=sig.carrier_freq_hz,
         early_late_space_chips=0.5, pll_bw_hz=8.0, dll_bw_hz=0.75,
-        enable_fll_pullin=False,    # symbols flip every 20 ms epoch
+        enable_fll_pullin=True, fll_decision_directed=True,
         fll_pullin_epochs=25, cn0_window_epochs=20)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
@@ -195,7 +196,7 @@ def gps_l5_chain(fs: float, prns=tuple(range(1, 33)), n_channels=4,
         code_length_chips=sig.code_length_chips,
         carrier_freq_hz=sig.carrier_freq_hz,
         early_late_space_chips=0.5, pll_bw_hz=50.0,
-        enable_fll_pullin=False,    # NH chips flip every 1 ms epoch
+        enable_fll_pullin=True, fll_decision_directed=True,
         fll_pullin_epochs=100)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
@@ -221,7 +222,7 @@ def galileo_e5a_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         code_length_chips=sig.code_length_chips,
         carrier_freq_hz=sig.carrier_freq_hz,
         early_late_space_chips=0.5, pll_bw_hz=50.0,
-        enable_fll_pullin=False,    # CS20 chips flip every 1 ms epoch
+        enable_fll_pullin=True, fll_decision_directed=True,
         fll_pullin_epochs=100)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
@@ -247,7 +248,7 @@ def beidou_b3i_chain(fs: float, prns=tuple(range(6, 31)), n_channels=4,
         code_length_chips=sig.code_length_chips,
         carrier_freq_hz=sig.carrier_freq_hz,
         early_late_space_chips=0.5, pll_bw_hz=40.0,
-        enable_fll_pullin=False,    # NH20 chips flip every 1 ms epoch
+        enable_fll_pullin=True, fll_decision_directed=True,
         fll_pullin_epochs=100)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
@@ -275,7 +276,7 @@ def galileo_e5b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         code_length_chips=sig.code_length_chips,
         carrier_freq_hz=sig.carrier_freq_hz,
         early_late_space_chips=0.5, pll_bw_hz=50.0,
-        enable_fll_pullin=False,    # CS4 chips flip every 1 ms epoch
+        enable_fll_pullin=True, fll_decision_directed=True,
         fll_pullin_epochs=100)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
@@ -303,7 +304,7 @@ def galileo_e6b_chain(fs: float, prns=tuple(range(1, 37)), n_channels=4,
         code_length_chips=sig.code_length_chips,
         carrier_freq_hz=sig.carrier_freq_hz,
         early_late_space_chips=0.5, pll_bw_hz=50.0,
-        enable_fll_pullin=False,    # C/NAV symbols flip every 1 ms epoch
+        enable_fll_pullin=True, fll_decision_directed=True,
         # E6-B is a DATA component with one symbol per epoch: the coherent
         # NBD/NBP lock test zero-means over any window; use the rectified
         # detector (the reference instead tracks the E6-C pilot)
@@ -336,7 +337,8 @@ def sbas_l1_chain(fs: float, prns=tuple(range(120, 139)), n_channels=2,
         code_length_chips=sig.code_length_chips,
         carrier_freq_hz=sig.carrier_freq_hz,
         early_late_space_chips=0.5, pll_bw_hz=40.0,
-        lock_rectify=True, enable_fll_pullin=False)
+        lock_rectify=True, enable_fll_pullin=True,
+        fll_decision_directed=True)
     trk_kw.update(trk_overrides)
     return SignalChainConf(
         signal="S1", system="SBAS", prns=tuple(prns),
@@ -1315,18 +1317,18 @@ class ReceiverSession:
             progressed = True
             advanced = True
             win, win_base = self._window(rt)
-            # Chains whose block kernel carries an FLL (enable_fll_pullin
-            # and no secondary code) run the block kernel from the very
-            # first chunk: its FLL pull-in + wide-DLL staging absorb the
-            # acquisition handoff errors directly (see
-            # test_block_mode_pullin_from_acquisition_errors), so the
-            # slow per-epoch pull-in phase is skipped entirely.
-            # Pilot/secondary chains and FLL-disabled chains (E1: symbol
-            # flips every epoch corrupt the cross-dot pairs) have no
-            # frequency pull-in at block cadence — they need the
-            # per-epoch wide short-epoch PLL closure first.
-            if (rt.spec.trk.enable_fll_pullin
-                    and len(rt.spec.trk.secondary_code) == 0):
+            # Chains whose block kernel carries an FLL (enable_fll_pullin)
+            # run the block kernel from the very first chunk: its FLL
+            # pull-in + wide-DLL staging absorb the acquisition handoff
+            # errors directly (see
+            # test_block_mode_pullin_from_acquisition_errors).  This now
+            # covers secondary-code/every-epoch-symbol chains too — they
+            # pull in with the flip-proof decision-directed cross-dot
+            # (TrackingConf.fll_decision_directed; the E1 pilot's
+            # sec-gated variant lives in the kernel) — so NO chain needs
+            # the slow per-epoch pull-in phase unless FLL is disabled by
+            # conf (then the per-epoch wide short-epoch PLL closes first).
+            if rt.spec.trk.enable_fll_pullin:
                 need = 0
             else:
                 need = rt.spec.trk.fll_pullin_epochs + 1000
@@ -1726,7 +1728,7 @@ def beidou_b1i_chain(fs: float, prns=tuple(range(6, 31)), n_channels=4,
         code_length_chips=sig.code_length_chips,
         carrier_freq_hz=sig.carrier_freq_hz,
         early_late_space_chips=0.5, pll_bw_hz=40.0,
-        enable_fll_pullin=False,    # NH20 chips flip every 1 ms epoch
+        enable_fll_pullin=True, fll_decision_directed=True,
         fll_pullin_epochs=100)
     trk_kw.update(trk_overrides)
     return SignalChainConf(

@@ -51,6 +51,16 @@ class TrackingConf:
     enable_fll_pullin: bool = True
     fll_bw_hz: float = 15.0
     fll_pullin_epochs: int = 250
+    # use the two-quadrant decision-directed cross-dot discriminator
+    # (ops/discriminators fll_cross_dot_decision) instead of the
+    # four-quadrant form: fully insensitive to a symbol/secondary-chip
+    # flip between the two prompts at half the pull range (+-1/(4T)).
+    # Set for data chains whose symbols flip every epoch (L5I NH10,
+    # E5a-I CS20, E5b-I CS4, B1I/B3I NH20, L2C CM, E6-B, SBAS) — their
+    # two-step acquisition error (<= doppler_step2/2) sits well inside
+    # the reduced range, so FLL pull-in works where the four-quadrant
+    # form would rail on ~half the pairs (reference fll_diff_atan family)
+    fll_decision_directed: bool = False
     early_late_space_chips: float = 0.5
     # > 0 adds very-early/very-late taps (5-tap VEML, the BOC sideband
     # disambiguator of dll_pll_VEML_tracking; used with the
@@ -263,12 +273,17 @@ def _dll_pll_update(conf: TrackingConf, state: TrackState, prompt,
         out_gain = 1.414213562 * wn
     # FLL assist during pull-in: nudge the frequency integrator directly
     # (reference FLL-assisted-PLL pull-in mode, run_dll_pll :1080-1099).
-    # Channels with a secondary code never use it: the every-epoch symbol
-    # flips corrupt ~half the cross-dot pairs before sync.
+    # Channels with a secondary code only use it in decision-directed
+    # mode: the every-epoch symbol flips corrupt ~half the four-quadrant
+    # cross-dot pairs before sync, while the two-quadrant form is
+    # flip-proof (conf.fll_decision_directed).
     if conf.enable_fll_pullin and apply_fll \
-            and len(conf.secondary_code) == 0:
-        freq_err = discriminators.fll_cross_dot(
-            state.prompt_prev, prompt, t_int)
+            and (conf.fll_decision_directed
+                 or len(conf.secondary_code) == 0):
+        fll_fn = (discriminators.fll_cross_dot_decision
+                  if conf.fll_decision_directed
+                  else discriminators.fll_cross_dot)
+        freq_err = fll_fn(state.prompt_prev, prompt, t_int)
         in_pullin = (state.epoch > 0) & (state.epoch < conf.fll_pullin_epochs)
         pll_vel = jnp.where(
             in_pullin,
@@ -343,8 +358,10 @@ def _kf_update(conf: TrackingConf, state: TrackState, prompt,
     fdot = state.kf_fdot + dx[:, 3]
     # FLL assist during pull-in, same as the scalar loops
     if conf.enable_fll_pullin:
-        freq_err = discriminators.fll_cross_dot(
-            state.prompt_prev, prompt, t_int)
+        fll_fn = (discriminators.fll_cross_dot_decision
+                  if conf.fll_decision_directed
+                  else discriminators.fll_cross_dot)
+        freq_err = fll_fn(state.prompt_prev, prompt, t_int)
         in_pullin = (state.epoch > 0) & (state.epoch < conf.fll_pullin_epochs)
         doppler = jnp.where(
             in_pullin,
@@ -1107,7 +1124,7 @@ class TrackingEngine:
                 self.conf, n_epochs // e_blk, e_blk, int(decim),
                 self._codes_fft, self.taps, x_dev, state,
                 sec_code=self._sec_code_dev,
-                data_codes_fft=self._data_codes_fft)
+                data_codes_rep=self._data_codes_fft)
             meta = self._chain_dispatch(new_state, x_abs_start, n_epochs)
             return ("decim", new_state, buf, int(x_abs_start),
                     int(n_epochs), int(decim), meta)

@@ -145,7 +145,7 @@ def test_block_data_prompt_matches_per_epoch():
                                data_codes=data_codes)
     _, out_b = tb.track_chunk_blocks(conf, N_BLOCKS, E_BLOCK, codes_fft,
                                      taps, x, st0,
-                                     data_codes_fft=data_codes_fft)
+                                     data_codes_rep=data_codes_fft)
     d_e = np.asarray(out_e["prompt"])     # data prompt in track_pilot mode
     d_b = np.asarray(out_b["prompt"])
     scale = np.abs(d_e).mean()
