@@ -103,23 +103,21 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
     ephs = [ephemerides[_key(c)] for c in idx]
 
     # satellite positions/clocks at transmit time (SV time -> GPS time
-    # iteration via the SV clock polynomial, rtklib ephpos/ephclk)
-    sat_pos = np.zeros((len(idx), 3))
-    sat_clk = np.zeros(len(idx))
-    sat_vel = np.zeros((len(idx), 3))
-    for k, eph in enumerate(ephs):
-        t_sv = tow_tx_s[k]
-        _, clk = eph.sat_pos_clock(t_sv)
-        t_gps = t_sv - clk
-        pos, clk = eph.sat_pos_clock(t_gps)
-        sat_pos[k] = pos
+    # iteration via the SV clock polynomial, rtklib ephpos/ephclk) —
+    # ONE broadcast evaluation for the whole epoch (nav.ephemeris
+    # sat_states_batch)
+    from gnss_sim_receiver_tpu.nav.ephemeris import sat_states_batch
+    sat_pos, sat_clk, sat_vel = sat_states_batch(ephs, tow_tx_s)
+    if conf.apply_tgd:
         # single-frequency group delay: dt_sv(L1) = dt_sv - T_GD
         # (IS-GPS-200 20.3.3.3.3.2; Galileo BGD is the same form)
-        sat_clk[k] = clk - (eph.tgd if conf.apply_tgd else 0.0)
-        sat_vel[k] = eph.sat_vel(t_gps)
+        sat_clk = sat_clk - np.array([e.tgd for e in ephs])
+    if sbas_corrections is not None:
         # SBAS fast + long-term corrections (DO-229 A.4.4.3/.7;
         # rtklib_sbas.cc sbssatcorr): PR += PRC, sat state += deltas
-        if sbas_corrections is not None and systems[idx[k]] == "GPS":
+        for k in range(len(idx)):
+            if systems[idx[k]] != "GPS":
+                continue
             prn_k = int(prns[idx[k]])
             pr[k] += sbas_corrections.code_correction_m(prn_k)
             lt = sbas_corrections.sat_correction(prn_k)
@@ -136,28 +134,28 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
     if clock_fixed:
         x[3] = C * fixed_clock_bias_s
     el_mask_applied = np.ones(len(idx), bool)
+    atm = np.zeros(len(idx))
+    atm_done = False
     for it in range(10):
-        rng = np.zeros(len(idx))
-        h = np.zeros((len(idx), 4))
-        for k in range(len(idx)):
-            # Sagnac: rotate SV position into the ECEF frame at reception
-            tau = max(np.linalg.norm(sat_pos[k] - x[:3]) / C, 1e-3)
-            ang = OMEGA_E * tau
-            rot = np.array([[np.cos(ang), np.sin(ang), 0],
-                            [-np.sin(ang), np.cos(ang), 0],
-                            [0, 0, 1]])
-            p = rot @ sat_pos[k]
-            d = p - x[:3]
-            r = np.linalg.norm(d)
-            rng[k] = r
-            h[k, :3] = -d / r
-            h[k, 3] = 1.0
+        # Sagnac: rotate SV positions into the ECEF frame at reception
+        # (vectorized over satellites)
+        tau = np.maximum(np.linalg.norm(sat_pos - x[:3], axis=1) / C, 1e-3)
+        ang = OMEGA_E * tau
+        ca, sa = np.cos(ang), np.sin(ang)
+        p = np.stack([ca * sat_pos[:, 0] + sa * sat_pos[:, 1],
+                      -sa * sat_pos[:, 0] + ca * sat_pos[:, 1],
+                      sat_pos[:, 2]], axis=1)
+        d = p - x[:3]
+        rng = np.linalg.norm(d, axis=1)
+        h = np.concatenate([-d / rng[:, None],
+                            np.ones((len(idx), 1))], axis=1)
         # atmospheric corrections once roughly converged (rtklib pntpos
-        # ionocorr/tropcorr)
-        atm = np.zeros(len(idx))
-        if it >= 3 and (conf.iono_model != "OFF"
-                        or conf.trop_model != "OFF"
-                        or sbas_corrections is not None):
+        # ionocorr/tropcorr); the geometry moves < mm afterwards, so they
+        # are computed once and reused by later iterations
+        if it >= 3 and not atm_done and (conf.iono_model != "OFF"
+                                         or conf.trop_model != "OFF"
+                                         or sbas_corrections is not None):
+            atm_done = True
             lat_i, lon_i, h_i = geodesy.ecef_to_llh(x[:3])
             for k in range(len(idx)):
                 el, az = geodesy.elevation_azimuth(x[:3], sat_pos[k])
@@ -229,14 +227,10 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
     else:
         lam = C / np.asarray(carrier_freq_hz, np.float64)[idx]
     rate_meas = -lam * obs.carrier_doppler_hz[idx]
-    hv = np.zeros((len(idx), 4))
-    rhs = np.zeros(len(idx))
-    for k in range(len(idx)):
-        d = sat_pos[k] - x[:3]
-        los = d / np.linalg.norm(d)
-        rhs[k] = rate_meas[k] - los @ sat_vel[k]
-        hv[k, :3] = -los
-        hv[k, 3] = 1.0
+    dv = sat_pos - x[:3]
+    los = dv / np.linalg.norm(dv, axis=1)[:, None]
+    rhs = rate_meas - np.einsum("kj,kj->k", los, sat_vel)
+    hv = np.concatenate([-los, np.ones((len(idx), 1))], axis=1)
     if clock_fixed:
         # clock held => drift is held too (0: the propagated-clock caller
         # carries drift from the last free fix); with the 3-satellite

@@ -1299,15 +1299,19 @@ class ReceiverSession:
             if 0 < n < chunk_n:
                 if not final:
                     continue   # wait for more data before eating the tail
-                # quantize tail chunks to a bounded set of jitted shapes
-                # (each n_epochs is a static arg): block_epochs * 2^k so
-                # tails stay on the fast block kernel, pow2 for the last
-                # few epochs
+                # eat the whole remaining tail in ONE block-aligned chunk
+                # (+ one exact-size sub-block remainder next iterate).
+                # The r4 power-of-two cascade kept the jitted shape set
+                # bounded but cost a ~30 ms pull latency per step — 13
+                # dribble iterations on a 120 s capture (~0.4 s, 15% of
+                # the whole run).  The block kernel's n_blocks static
+                # arg costs one compile per distinct tail length, paid
+                # once per process (the warm/steady runs reuse it); the
+                # final remainder is < 2*block_epochs, so its per-epoch
+                # shape set is bounded by the block length anyway.
                 q = rt.trk.block_epochs
                 if n >= 2 * q:
-                    n = q << ((n // q).bit_length() - 1)
-                else:
-                    n = 1 << (n.bit_length() - 1)
+                    n = (n // q) * q
             if n <= 0:
                 if final:
                     rt.done = rt.total   # stream exhausted for this chain

@@ -44,13 +44,23 @@ def _collect_column(st, prompts_col, valid_col) -> tuple:
 
 
 def _stamp_tow_column(tow_col, v, base, st, epoch_ms: float,
-                      after_anchor: bool) -> None:
+                      after_anchor: bool, anchor0=None) -> None:
     """Vectorized TOW stamping: tow_col[e] = anchor + (idx+1-anchor_epoch)
-    * epoch_ms for valid epochs (optionally only at/after the anchor)."""
+    * epoch_ms for valid epochs.
+
+    after_anchor=True gates on `anchor0` — the anchor the channel had
+    BEFORE this batch's decodes.  Gating on the current (post-decode)
+    anchor would un-stamp every epoch before the LATEST in-batch
+    word/subframe: on a 30 s adaptive chunk that silently dropped all
+    but the last few seconds of observables.  TOW is linear in the
+    epoch index, so the whole batch extrapolates exactly from the
+    newest anchor; only a channel's FIRST-ever anchor limits the gate
+    (no TOW claim before the first decoded timestamp)."""
     if st.anchor_epoch is None:
         return
     idx = base + np.arange(len(v))
-    m = v if not after_anchor else (v & (idx >= st.anchor_epoch))
+    gate = anchor0 if anchor0 is not None else st.anchor_epoch
+    m = v if not after_anchor else (v & (idx >= gate))
     tow_col[m] = (st.anchor_tow_ms
                   + (idx[m] + 1 - st.anchor_epoch) * epoch_ms)
 
@@ -173,12 +183,21 @@ class TelemetryDecoder:
                 st.n_seen += int(vi.size)
             if st.bit_phase is None and st.n_seen >= 200:
                 self._try_bit_sync(st)
+            # TOW gating anchor BEFORE this batch's decodes: _emit_bits
+            # advances anchor_epoch to the LATEST in-batch subframe, and
+            # gating on that would un-stamp every epoch before it — on a
+            # 30 s adaptive chunk that silently dropped all but the last
+            # ~6 s of observables (the r4 batch-vs-streaming fix-count
+            # divergence).  TOW is linear in epoch, so once ANY anchor
+            # exists the whole batch extrapolates from the latest one;
+            # only a channel's FIRST-ever anchor limits the gate.
+            anchor0 = st.anchor_epoch
             if st.bit_phase is not None:
                 self._emit_bits(st, c, new_eph)
-            # stamp TOW for this batch (only at/after the anchor subframe)
             if st.anchor_epoch is not None:
+                gate = anchor0 if anchor0 is not None else st.anchor_epoch
                 idx = base + np.arange(t_len)
-                m = v & (idx >= st.anchor_epoch)
+                m = v & (idx >= gate)
                 tow[m, c] = (st.anchor_tow_ms
                              + (idx[m] + 1 - st.anchor_epoch) * 1.0)
         half = np.array([0.5 if st.polarity_inverted else 0.0
@@ -299,6 +318,7 @@ class GalileoE1bTelemetryDecoder:
         for c in range(n_ch):
             st = self.ch[c]
             pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
+            anchor0 = st.anchor_epoch
             for ev in st.decoder.push_symbols(pi.tolist()):
                 _note_crc(self, c, ev.crc_ok)
                 if not ev.crc_ok:
@@ -306,7 +326,7 @@ class GalileoE1bTelemetryDecoder:
                 self._handle_word(st, c, ev, new_eph,
                                   words_to_galileo_ephemeris)
             _stamp_tow_column(tow[:, c], v, base, st, E1B_EPOCH_MS,
-                              after_anchor=True)
+                              after_anchor=True, anchor0=anchor0)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=new_eph)
@@ -796,6 +816,7 @@ class GalileoE5bTelemetryDecoder:
         for c in range(n_ch):
             st = self.ch[c]
             pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
+            anchor0 = st.anchor_epoch
             st.pend.extend(pi.tolist())
             symbols = _fold_secondary(st, self._cs, margin=1.15,
                                       min_symbols=60)
@@ -806,7 +827,7 @@ class GalileoE5bTelemetryDecoder:
                 self._handle_word(st, c, ev, new_eph,
                                   words_to_galileo_ephemeris)
             _stamp_tow_column(tow[:, c], v, base, st, self.EPOCH_MS,
-                              after_anchor=True)
+                              after_anchor=True, anchor0=anchor0)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=new_eph)
@@ -1044,7 +1065,7 @@ class SbasL1TelemetryDecoder:
                     st.anchor_epoch = sym_epoch0 + 2 * ev.start_symbol
                     st.anchor_tow_ms = tow_s * 1000.0
             _stamp_tow_column(tow[:, c], v, base, st, self.EPOCH_MS,
-                              after_anchor=True)
+                              after_anchor=True, anchor0=anchor0)
         return TelemetryOutputs(tow_at_epoch_ms=tow,
                                 tow_valid=~np.isnan(tow),
                                 new_ephemerides=[])

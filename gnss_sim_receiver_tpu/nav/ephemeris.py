@@ -106,6 +106,74 @@ class GpsEphemeris:
         return (p2 - p1) / (2 * dt)
 
 
+_BATCH_FIELDS = ("toe", "toc", "sqrt_a", "ecc", "m0_sc", "delta_n_sc",
+                 "omega0_sc", "omega_sc", "omega_dot_sc", "i0_sc",
+                 "idot_sc", "cuc", "cus", "crc", "crs", "cic", "cis",
+                 "af0", "af1", "af2")
+
+
+def sat_states_batch(ephs, t_sv_s):
+    """Vectorized satellite states for one observation epoch: positions
+    [K, 3], clock biases [K] and velocities [K, 3] for K ephemerides at
+    per-satellite SV transmit times t_sv_s [K].
+
+    One broadcast Kepler solve replaces K scalar sat_pos_clock calls per
+    LS iteration — the PVT driver calls this once per epoch (the
+    profiled receiver spent ~20% of its host time in per-satellite
+    scalar ephemeris evaluations).  Matches sat_pos_clock()/sat_vel()
+    exactly: the SV->GPS clock iteration and the central-difference
+    velocity are evaluated on the same stacked math."""
+    k = len(ephs)
+    f = {name: np.array([getattr(e, name) for e in ephs], np.float64)
+         for name in _BATCH_FIELDS}
+    gm = np.array([constants.GALILEO_GM
+                   if e.system in ("Galileo", "BeiDou") else constants.GPS_GM
+                   for e in ephs], np.float64)
+
+    def _eval(t):
+        # t [..., K] broadcast against the [K] field arrays
+        a = f["sqrt_a"] ** 2
+        n0 = np.sqrt(gm / a ** 3)
+        tk = _wrap_week(t - f["toe"])
+        m = f["m0_sc"] * _PI + (n0 + f["delta_n_sc"] * _PI) * tk
+        e = f["ecc"]
+        ek = _kepler(m, e)
+        sin_ek, cos_ek = np.sin(ek), np.cos(ek)
+        nu = np.arctan2(np.sqrt(1 - e * e) * sin_ek, cos_ek - e)
+        phi = nu + f["omega_sc"] * _PI
+        s2p, c2p = np.sin(2 * phi), np.cos(2 * phi)
+        u = phi + f["cus"] * s2p + f["cuc"] * c2p
+        r = a * (1 - e * cos_ek) + f["crs"] * s2p + f["crc"] * c2p
+        inc = (f["i0_sc"] * _PI + f["idot_sc"] * _PI * tk
+               + f["cis"] * s2p + f["cic"] * c2p)
+        omega = (f["omega0_sc"] * _PI
+                 + (f["omega_dot_sc"] * _PI
+                    - constants.GPS_OMEGA_EARTH_DOT) * tk
+                 - constants.GPS_OMEGA_EARTH_DOT * f["toe"])
+        xp = r * np.cos(u)
+        yp = r * np.sin(u)
+        so, co = np.sin(omega), np.cos(omega)
+        si, ci = np.sin(inc), np.cos(inc)
+        pos = np.stack([xp * co - yp * ci * so,
+                        xp * so + yp * ci * co,
+                        yp * si], axis=-1)
+        dtc = _wrap_week(t - f["toc"])
+        clk = (f["af0"] + f["af1"] * dtc + f["af2"] * dtc * dtc
+               + constants.GPS_F_RELATIVISTIC * e * f["sqrt_a"] * sin_ek)
+        return pos, clk
+
+    t_sv = np.asarray(t_sv_s, np.float64)
+    _, clk0 = _eval(t_sv)
+    t_gps = t_sv - clk0
+    pos, clk = _eval(t_gps)
+    dt = 1e-3
+    p1, _ = _eval(t_gps - dt)
+    p2, _ = _eval(t_gps + dt)
+    vel = (p2 - p1) / (2 * dt)
+    assert pos.shape == (k, 3)
+    return pos, clk, vel
+
+
 def _wrap_week(dt):
     """Half-week wrap of time differences (IS-GPS-200 20.3.3.4.3)."""
     dt = np.asarray(dt, dtype=np.float64)
