@@ -211,23 +211,35 @@ def track_chunk_blocks(conf: TrackingConf, n_blocks: int, e_block: int,
                                 codes_rep * jnp.sin(ramp))
         rf = jnp.conj(mxu_fft.fft(rep_t))                      # [C, F2]
 
-        # ---- window selection + row gather -----------------------------
-        # epoch e of channel c starts (exactly, fractionally) at chunk
-        # sample pos + ecs; its window is the one whose first period
-        # contains the ROUNDED start.  Integer arithmetic first: pos can
-        # be ~2^20 where float32 spacing is 0.06 samples — far above the
-        # sub-0.01-sample precision the fractional lag needs
-        p_int = st.pos[:, None] + n_cum.astype(jnp.int32)      # [C, E]
-        w_ce = jnp.clip(p_int // jnp.int32(s0), 0, n_wins - 1)  # [C, E]
-        xf = xf_all[w_ce]                                      # [C, E, F2]
+        # ---- window selection: contiguous slab per channel -------------
+        # epoch e of channel c always fits window w0_c + e: within one
+        # block the epoch-start drift off the w0_c + e*s0 grid is
+        # |u0| + E*|s_per - s0| <= a few samples, absorbed by the LEAD
+        # margin below and the window's tail margin (block_fft_size).
+        # A contiguous dynamic-slice of E rows per channel is the point:
+        # a data-dependent per-(c,e) row gather xf_all[w_ce] lowers to a
+        # true XLA gather that measured ~5.5 ms per signal-second at
+        # 12ch — more than the rest of the kernel combined — and
+        # vmap(dynamic_slice) over per-channel starts lowers to the same
+        # gather.  An UNROLLED loop of scalar-start dynamic slices stays
+        # a plain DMA per channel (measured flat in C: 2.6 ms/50 blocks
+        # at both 12 and 48 channels, vs 3.7/6.8 for the vmap form)
+        w0 = jnp.clip(st.pos // jnp.int32(s0), 0,
+                      jnp.int32(max(n_wins - e_block, 0)))     # [C]
+        xf = jnp.stack([
+            jax.lax.dynamic_slice(xf_all, (w0[c], 0),
+                                  (e_block, xf_all.shape[1]))
+            for c in range(c_ch)])                             # [C, E, F2]
 
         # ---- fractional replica lag within the window ------------------
-        # window w starts at chunk sample w*s0 - LEAD; (pos - w*s0) in
-        # int32 keeps the large parts exact, the fractional part rides
-        # on the small ecs - n_cum residual
-        d_int = (st.pos[:, None] - w_ce * jnp.int32(s0)
-                 ).astype(jnp.float32)                         # [C, E]
-        lag = d_int + ecs + jnp.float32(_LEAD)                 # [C, E]
+        # window w0+e starts at chunk sample (w0+e)*s0 - LEAD; the
+        # integer parts stay in int32 (pos can be ~2^20 where float32
+        # spacing is 0.06 samples), the fractional part rides on the
+        # small ecs - e*s0 residual
+        d_int = (st.pos - w0 * jnp.int32(s0)).astype(jnp.float32)  # [C]
+        lag = (d_int[:, None]
+               + (ecs - e_idx[None, :] * jnp.float32(s0))
+               + jnp.float32(_LEAD))                           # [C, E]
         # deterministic half-stretch correction: the signal's code runs
         # at rate*(1+dop/fc) vs the nominal-rate replica: by mid-epoch
         # the signal phase leads by stretch/2 chips, so the replica must
