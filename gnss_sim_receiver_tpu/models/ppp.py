@@ -57,6 +57,9 @@ class PppConf:
     # initial variance (rtklib prcopt tropopt=TROPOPT_EST role)
     ztd_process_noise_m: float = 1e-4
     ztd_init_sigma_m: float = 0.3
+    # precise-product corrections (rtklib_tides.cc tidedisp /
+    # rtklib_ionex.cc iontec roles); tides need `week` at update()
+    tide_correction: bool = False
 
 
 @dataclasses.dataclass
@@ -103,7 +106,14 @@ class PppEngine:
         self.x, self.P, self.amb_keys = x, P, all_keys
 
     def update(self, obs, prns, ephemerides, systems=None,
-               carrier_freq_hz=None, x0=None) -> PppSolution:
+               carrier_freq_hz=None, x0=None, week=None,
+               ionex=None) -> PppSolution:
+        """`ephemerides` may be broadcast ephemeris objects OR the
+        precise-orbit dict from nav.precise.Sp3Ephemeris.satellites()
+        (same sat_pos_clock interface).  `ionex`: optional
+        nav.precise.IonexTecGrid applied to single-band satellites
+        (dual-band uses the iono-free combination instead).  `week` +
+        conf.tide_correction enable solid-earth tide displacement."""
         conf = self.conf
         bad = PppSolution(False, np.zeros(3), 0.0, 0, float("inf"))
         prns = np.asarray(prns)
@@ -128,6 +138,19 @@ class PppEngine:
         self.P[4, 4] += conf.ztd_process_noise_m ** 2
 
         rov = self.x[:3]
+        # solid-earth tide station displacement (reference applies it to
+        # the modeled station position, rtklib_ppp.cc ppp_res via
+        # tidedisp): the filter estimates the tide-free mean position
+        tide = np.zeros(3)
+        if conf.tide_correction and week is not None:
+            from gnss_sim_receiver_tpu.nav import precise
+            tows = obs.interp_tow_ms[np.asarray(obs.valid, bool)]
+            if len(tows):
+                tide = precise.solid_earth_tide(
+                    week, float(tows[0]) / 1000.0, rov)
+        lat0 = lon0 = None
+        if ionex is not None:
+            lat0, lon0, _ = geodesy.ecef_to_llh(rov)
         raw = {}
         for c in range(n_ch):
             if not obs.valid[c]:
@@ -147,12 +170,28 @@ class PppEngine:
                             [-np.sin(ang), np.cos(ang), 0.0],
                             [0.0, 0.0, 1.0]])
             p = rot @ pos
-            el, _ = geodesy.elevation_azimuth(rov, p)
+            el, az = geodesy.elevation_azimuth(rov, p)
             if np.degrees(el) < conf.elevation_mask_deg:
                 continue
             lam = lam_all[c]
             code = obs.pseudorange_m[c] + C * clk       # clock-corrected
             carr = -lam * obs.carrier_phase_cycles[c] + C * clk
+            if ionex is not None:
+                # ionospheric pierce point (rtklib ionppp role) then
+                # single-layer slant delay; group delays code, advances
+                # carrier by the same amount
+                re_h = 6378137.0 / (6378137.0 + ionex.h_km * 1e3)
+                psi = np.pi / 2 - el - np.arcsin(re_h * np.cos(el))
+                lat_i = np.arcsin(np.sin(lat0) * np.cos(psi)
+                                  + np.cos(lat0) * np.sin(psi)
+                                  * np.cos(az))
+                lon_i = lon0 + np.arcsin(
+                    np.sin(psi) * np.sin(az) / max(np.cos(lat_i), 1e-6))
+                di = ionex.slant_delay_m(
+                    t_sv, np.degrees(lat_i), np.degrees(lon_i), el,
+                    C / lam)
+                code -= di
+                carr += di
             raw.setdefault(key, []).append((p, code, carr, lam, el))
 
         # dual-frequency: iono-free combination per satellite when two
@@ -189,7 +228,7 @@ class PppEngine:
         rov = self.x[:3]
         for i, (k, (p, code, carr, lam, el, is_if)) in \
                 enumerate(meas.items()):
-            d = rov - p
+            d = (rov + tide) - p
             r = np.linalg.norm(d)
             e = d / r
             # residual zenith trop delay, 1/sin(el) mapping
@@ -214,9 +253,13 @@ class PppEngine:
         S = H @ self.P @ H.T + np.diag(Rd)
         K = np.linalg.solve(S, H @ self.P).T
         self.x = self.x + K @ z
-        self.P = (np.eye(n_x) - K @ H) @ self.P
+        # Joseph-form update: (I-KH)P(I-KH)' + KRK' stays positive
+        # semidefinite under roundoff where the short form (I-KH)P can
+        # drive trace(P) negative (r4 advisor finding: sqrt warning).
+        IKH = np.eye(n_x) - K @ H
+        self.P = IKH @ self.P @ IKH.T + K @ np.diag(Rd) @ K.T
         self.P = 0.5 * (self.P + self.P.T)
         return PppSolution(
             valid=True, rx_ecef_m=self.x[:3].copy(),
             rx_clock_bias_s=self.x[3] / C, n_sats=n_m,
-            sigma_pos_m=float(np.sqrt(np.trace(self.P[:3, :3]))))
+            sigma_pos_m=float(np.sqrt(max(np.trace(self.P[:3, :3]), 0.0))))
