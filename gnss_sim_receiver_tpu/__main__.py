@@ -105,6 +105,16 @@ def main(argv=None) -> int:
     print(f"  conditioned -> {len(x)} samples at {cond.fs_out/1e6:.3f} Msps")
 
     rx = make_receiver(config)
+    # live UDP monitor taps (Monitor.* / NavDataMonitor.* / PVT.enable_
+    # monitor* keys, gnss_flowgraph.cc:194-273 + rtklib_pvt.cc:886-898)
+    from gnss_sim_receiver_tpu.monitor.sinks import build_monitors
+    monitors = build_monitors(config)
+    if not monitors.any():
+        monitors = None
+    else:
+        print("Monitors: " + ", ".join(
+            n for n in ("synchro", "pvt", "nav", "ephemeris")
+            if getattr(monitors, n) is not None))
     # RTK: base observables from a RINEX obs file (PVT.rtk_base_rinex_obs)
     # + known base position (PVT.rtk_base_position_ecef = "x,y,z")
     base_obs = None
@@ -130,6 +140,8 @@ def main(argv=None) -> int:
         from gnss_sim_receiver_tpu.utils.sample_io import read_timestamp_file
         sess = rx.start_session(base_observations=base_obs,
                                 ephemerides=assist_ephs)
+        if monitors is not None:
+            sess.attach_monitors(monitors)
         sc, wk, tow = read_timestamp_file(src.timestamp_filename)
         sess.attach_time_tags(sc, wk, tow,
                               clock_offset_ms=src.timestamp_clock_offset_ms)
@@ -138,7 +150,8 @@ def main(argv=None) -> int:
         run = sess.result()
     else:
         run = rx.process_array(x, base_observations=base_obs,
-                               ephemerides=assist_ephs)
+                               ephemerides=assist_ephs,
+                               monitors=monitors)
     dt = time.time() - t0
     if run.rtk_solutions:
         n_fix = sum(1 for _, s in run.rtk_solutions if s.fixed)

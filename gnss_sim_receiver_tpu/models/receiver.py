@@ -695,6 +695,10 @@ class ReceiverSession:
         self.ephemerides = dict(ephemerides or {})
         self.solutions = []
         self.obs_epochs = []
+        # live UDP monitor taps (monitor.sinks.Monitors); attached via
+        # attach_monitors, streamed during _iterate/_solve like the
+        # reference's flowgraph-wired gnss_synchro/nav/PVT monitors
+        self.monitors = None
         self.pvt_kf = None
         if conf.enable_pvt_kf:
             from gnss_sim_receiver_tpu.models.pvt_kf import PvtKf
@@ -821,6 +825,33 @@ class ReceiverSession:
             rt.decim = (1 if self.collect else
                         max(1, int(min(conf.obs.interval_ms, 90.0)
                                    // epoch_ms)))
+
+    def _monitor_eph(self, rt, eph) -> None:
+        m = self.monitors
+        if m is not None and m.ephemeris is not None \
+                and rt.spec.system == "GPS":
+            m.ephemeris.send_ephemeris(eph)
+
+    def attach_monitors(self, monitors) -> None:
+        """Stream live monitor taps during the run (reference
+        gnss_flowgraph.cc:194-273 + :1278 wiring): a
+        monitor.sinks.Monitors whose enabled sinks receive tracking
+        epochs (synchro), PVT solutions, decoded subframes (nav), and
+        new GPS ephemerides."""
+        self.monitors = monitors
+        if monitors is not None and monitors.nav is not None:
+            sink = monitors.nav
+            from gnss_sim_receiver_tpu.models.outputs import _SYS_RINEX
+            for rt in self.chains:
+                if not hasattr(rt.tlm, "ch"):
+                    continue        # only LNAV-style decoders emit raw bits
+                letter = _SYS_RINEX.get(rt.spec.system, "G")
+
+                def _cb(c, prn, tow_ms, bits, _l=letter,
+                        _s=rt.spec.signal):
+                    sink.send_subframe(prn, tow_ms, bits, system=_l,
+                                       signal=_s)
+                rt.tlm.nav_monitor = _cb
 
     # -- input ----------------------------------------------------------------
 
@@ -1394,6 +1425,7 @@ class ReceiverSession:
                                           "valid": outs["valid_full"]})
                 for c, eph in tlm_res.new_ephemerides:
                     self.ephemerides[rt.eph_key(eph.prn)] = eph
+                    self._monitor_eph(rt, eph)
                 quiet = self._handle_lock_loss(rt, tracking) and quiet
                 continue
             if rows is not None:
@@ -1427,6 +1459,7 @@ class ReceiverSession:
                 outs = dict(outs, valid=ov, valid_ungated=outs["valid"])
             for c, eph in tlm_res.new_ephemerides:
                 self.ephemerides[rt.eph_key(eph.prn)] = eph
+                self._monitor_eph(rt, eph)
             if (self.tow_map is not None and rt.spec.system == "Galileo"
                     and rt.spec.signal != "E6"):
                 # publish per-PRN TOW for the E6 channels (decimated rows
@@ -1439,6 +1472,18 @@ class ReceiverSession:
                                         outs["sample_counter"][e, c])
             self.obs_eng.push_epochs(outs, tlm_obs,
                                      channel_offset=rt.offset)
+            if self.monitors is not None and \
+                    self.monitors.synchro is not None:
+                from gnss_sim_receiver_tpu.models.outputs import _SYS_RINEX
+                # decimated transfers: 'prompt' is full-rate, everything
+                # else tick-rate — stream the tick-rate planes
+                mouts = (outs if rows is None
+                         else dict(outs, prompt=outs["prompt"][rows]))
+                self.monitors.synchro.fs = self._chain_fs(rt)
+                self.monitors.synchro.push_track_epochs(
+                    mouts, tlm_obs, prns=rt.tlm.prns,
+                    system=_SYS_RINEX.get(spec.system, "G"),
+                    signal=spec.signal)
 
             # telemetry fail-safe bookkeeping
             tw = tlm_obs.tow_valid.any(axis=0)
@@ -1582,6 +1627,9 @@ class ReceiverSession:
                 self.last_fix_time = epoch.rx_time_s
                 self.n_fixes += 1
                 self.solutions.append(sol)
+                if self.monitors is not None and \
+                        self.monitors.pvt is not None:
+                    self.monitors.pvt.send_solution(sol)
                 if conf.share_rx_clock_bias:
                     # tag a GNSS channel's TOW/PRN, never the pseudolite's
                     # (the reference erases the ps channel from the
@@ -1691,7 +1739,8 @@ class Receiver:
     def process_array(self, x: np.ndarray,
                       collect_track_outputs: bool = False,
                       ephemerides: dict | None = None,
-                      base_observations=None) -> ReceiverRun:
+                      base_observations=None,
+                      monitors=None) -> ReceiverRun:
         """Run the whole receiver over an in-memory sample array (host
         np.ndarray or device-resident jax.Array).
 
@@ -1716,6 +1765,8 @@ class Receiver:
         s = self.start_session(collect_track_outputs=collect_track_outputs,
                                ephemerides=ephemerides,
                                base_observations=base_observations)
+        if monitors is not None:
+            s.attach_monitors(monitors)
         s.attach_array(x)
         s.run_to_end()
         return s.result()

@@ -242,6 +242,15 @@ class TelemetryDecoder:
             st.anchor_epoch = sf_start_epoch
             st.anchor_tow_ms = tow_sf_start_s * 1000.0
             st.polarity_inverted = bool(ev.inverted)
+            # live nav-message tap (reference Nav_msg_from_TLM port ->
+            # nav_message_monitor, gnss_flowgraph.cc:1278): one callback
+            # per decoded subframe with its raw 300 transmitted bits
+            hook = getattr(self, "nav_monitor", None)
+            if hook is not None:
+                raw = st.frame.bits[ev.bit_index:
+                                    ev.bit_index + lnav.BITS_PER_SUBFRAME]
+                if len(raw) == lnav.BITS_PER_SUBFRAME:
+                    hook(c, self.prns[c], st.anchor_tow_ms, raw)
             if ev.sf_id in (4, 5) and ev.fields:
                 sv = int(ev.fields.get("sv_id", 0))
                 if sv == lnav.IONO_SV_ID:

@@ -39,20 +39,23 @@ class GnssSynchroUdpSink:
         self.decim = max(int(decimation_factor), 1)
         self._count = 0
 
-    def push_track_epochs(self, outs: dict, tlm_outs=None) -> int:
+    def push_track_epochs(self, outs: dict, tlm_outs=None, prns=None,
+                          system: str = "G", signal: str = "1C") -> int:
         """Send decimated tracking epochs from a [T, C] output batch.
-        Returns number of datagrams sent."""
+        Returns number of datagrams sent.  `prns` overrides the
+        constructor PRN list (live sessions rotate satellites)."""
         t_len = outs["prompt"].shape[0]
+        prn_list = list(prns) if prns is not None else self.prns
         sent = 0
         for e in range(t_len):
             self._count += 1
             if self._count % self.decim:
                 continue
             msg = gnss_synchro_pb2.Observables()
-            for c, prn in enumerate(self.prns):
+            for c, prn in enumerate(prn_list):
                 o = msg.observable.add()
-                o.system = "G"
-                o.signal = "1C"
+                o.system = system
+                o.signal = signal
                 o.prn = int(prn)
                 o.channel_id = c
                 o.fs = int(self.fs)
@@ -111,6 +114,44 @@ class MonitorPvtUdpSink:
         self.sender.send(m.SerializeToString())
 
 
+class MonitorEphemerisUdpSink:
+    """Streams newly decoded GPS ephemerides as GpsEphemeris protobuf
+    (reference monitor_ephemeris_udp_sink.cc, enabled by
+    PVT.enable_monitor_ephemeris, rtklib_pvt.cc:896-898)."""
+
+    def __init__(self, addresses, port: int):
+        from gnss_sim_receiver_tpu.monitor import gps_ephemeris_pb2
+        self._pb = gps_ephemeris_pb2
+        self.sender = _UdpSender(addresses, port)
+
+    def send_ephemeris(self, eph) -> None:
+        sc = np.pi          # broadcast semicircle fields -> radians
+        m = self._pb.GpsEphemeris()
+        m.PRN = int(eph.prn)
+        m.M_0 = float(eph.m0_sc) * sc
+        m.delta_n = float(eph.delta_n_sc) * sc
+        m.ecc = float(eph.ecc)
+        m.sqrtA = float(eph.sqrt_a)
+        m.OMEGA_0 = float(eph.omega0_sc) * sc
+        m.i_0 = float(eph.i0_sc) * sc
+        m.omega = float(eph.omega_sc) * sc
+        m.OMEGAdot = float(eph.omega_dot_sc) * sc
+        m.idot = float(eph.idot_sc) * sc
+        m.Cuc, m.Cus = float(eph.cuc), float(eph.cus)
+        m.Crc, m.Crs = float(eph.crc), float(eph.crs)
+        m.Cic, m.Cis = float(eph.cic), float(eph.cis)
+        m.toe = int(eph.toe)
+        m.toc = int(eph.toc)
+        m.af0, m.af1, m.af2 = (float(eph.af0), float(eph.af1),
+                               float(eph.af2))
+        m.WN = int(eph.week)
+        m.TGD = float(eph.tgd)
+        m.IODC = int(eph.iodc)
+        m.IODE_SF2 = int(eph.iode)
+        m.IODE_SF3 = int(eph.iode)
+        self.sender.send(m.SerializeToString())
+
+
 class NavMessageUdpSink:
     """Streams decoded navigation-message units (reference
     nav_message_monitor + nav_message_udp_sink, src/core/libs/): one navMsg
@@ -131,3 +172,63 @@ class NavMessageUdpSink:
         m.tow_at_current_symbol_ms = int(tow_ms)
         m.nav_message = "".join("1" if int(b) else "0" for b in bits)
         self.sender.send(m.SerializeToString())
+
+
+class Monitors:
+    """The set of conf-enabled monitor taps a live session streams to
+    (reference gnss_flowgraph.cc:194-273 wires up to three
+    gnss_synchro_monitor taps plus nav/PVT monitors at flowgraph
+    build)."""
+
+    def __init__(self, synchro=None, pvt=None, nav=None, ephemeris=None):
+        self.synchro = synchro
+        self.pvt = pvt
+        self.nav = nav
+        self.ephemeris = ephemeris
+
+    def any(self) -> bool:
+        return any((self.synchro, self.pvt, self.nav, self.ephemeris))
+
+
+def _addresses(config, key, default="127.0.0.1"):
+    raw = str(config.property(key, default))
+    return [a.strip() for a in raw.split(",") if a.strip()]
+
+
+def build_monitors(config) -> Monitors:
+    """Instantiate monitor sinks from the reference conf keys:
+
+    - Monitor.enable_monitor / client_addresses / udp_port /
+      decimation_factor            (gnss_flowgraph.cc:194-211)
+    - NavDataMonitor.enable_monitor / client_addresses / port
+                                    (gnss_flowgraph.cc:264-272)
+    - PVT.enable_monitor / monitor_client_addresses / monitor_udp_port
+                                    (rtklib_pvt.cc:886-888)
+    - PVT.enable_monitor_ephemeris / monitor_ephemeris_client_addresses /
+      monitor_ephemeris_udp_port    (rtklib_pvt.cc:896-898)
+    """
+    def _b(key):
+        v = config.property(key, False)
+        return v if isinstance(v, bool) else str(v).lower() == "true"
+
+    mon = Monitors()
+    if _b("Monitor.enable_monitor"):
+        mon.synchro = GnssSynchroUdpSink(
+            _addresses(config, "Monitor.client_addresses"),
+            int(config.property("Monitor.udp_port", 1234)),
+            prns=[], fs=0.0,
+            decimation_factor=int(
+                config.property("Monitor.decimation_factor", 1)))
+    if _b("NavDataMonitor.enable_monitor"):
+        mon.nav = NavMessageUdpSink(
+            _addresses(config, "NavDataMonitor.client_addresses"),
+            int(config.property("NavDataMonitor.port", 1237)))
+    if _b("PVT.enable_monitor"):
+        mon.pvt = MonitorPvtUdpSink(
+            _addresses(config, "PVT.monitor_client_addresses"),
+            int(config.property("PVT.monitor_udp_port", 1234)))
+    if _b("PVT.enable_monitor_ephemeris"):
+        mon.ephemeris = MonitorEphemerisUdpSink(
+            _addresses(config, "PVT.monitor_ephemeris_client_addresses"),
+            int(config.property("PVT.monitor_ephemeris_udp_port", 1234)))
+    return mon
