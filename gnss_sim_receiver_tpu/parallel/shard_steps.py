@@ -74,6 +74,72 @@ def tracking_step_sharded(mesh: Mesh, conf, n_epochs: int, codes, taps,
                 state)
 
 
+def tracking_block_step_sharded(mesh: Mesh, conf, n_blocks: int,
+                                e_block: int, codes_rep, taps, x, state,
+                                sec_code=None, data_codes_rep=None,
+                                axis: str = CHANNEL_AXIS):
+    """The flagship block-FFT tracking kernel
+    (models.tracking_block.track_chunk_blocks) with the CHANNEL axis
+    sharded over `mesh`.
+
+    Each shard computes the shared window spectra of the (replicated)
+    chunk once and runs its channel group's matmul-DFT correlation; the
+    per-epoch [T, C] output planes are `all_gather`ed so the host
+    observables/telemetry path reads the full batch — the steady-state
+    analogue of tracking_step_sharded (which covers the per-epoch
+    pull-in kernel).  Returns (new_state sharded [C...], outs gathered,
+    replicated).
+
+    `codes_rep` / `data_codes_rep` are per-channel [C, F2] replica
+    tables (sharded); `sec_code` is the chain-wide secondary-code table
+    (replicated).
+    """
+    from gnss_sim_receiver_tpu.models import tracking_block as tb
+
+    n_dev = mesh.shape[axis]
+    c_total = int(codes_rep.shape[0])
+    if c_total % n_dev:
+        raise ValueError(f"channels ({c_total}) must divide the mesh "
+                         f"axis ({n_dev})")
+
+    def _gather(v):
+        if v.ndim >= 2:           # [T, C] planes
+            return jax.lax.all_gather(v, axis, axis=1, tiled=True)
+        return jax.lax.all_gather(v, axis, axis=0, tiled=True)   # [C]
+
+    if sec_code is None and data_codes_rep is None:
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(axis), P(), P(), P(axis)),
+                 out_specs=(P(axis), P()), check_vma=False)
+        def step(codes_l, taps_l, x_l, state_l):
+            new_state, outs = tb.track_chunk_blocks(
+                conf, n_blocks, e_block, codes_l, taps_l, x_l, state_l)
+            return new_state, {k: _gather(v) for k, v in outs.items()}
+
+        return step(jnp.asarray(codes_rep), jnp.asarray(taps),
+                    jnp.asarray(x), state)
+
+    sec = (jnp.asarray(sec_code) if sec_code is not None
+           else jnp.zeros((0,), jnp.float32))
+    data_rep = (jnp.asarray(data_codes_rep)
+                if data_codes_rep is not None
+                else jnp.zeros_like(jnp.asarray(codes_rep)))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), P(), P(), P(axis), P(), P(axis)),
+             out_specs=(P(axis), P()), check_vma=False)
+    def step_full(codes_l, taps_l, x_l, state_l, sec_l, data_l):
+        new_state, outs = tb.track_chunk_blocks(
+            conf, n_blocks, e_block, codes_l, taps_l, x_l, state_l,
+            sec_code=sec_l if sec_l.shape[0] else None,
+            data_codes_rep=data_l if data_codes_rep is not None
+            else None)
+        return new_state, {k: _gather(v) for k, v in outs.items()}
+
+    return step_full(jnp.asarray(codes_rep), jnp.asarray(taps),
+                     jnp.asarray(x), state, sec, data_rep)
+
+
 def acquisition_doppler_sharded(mesh: Mesh, x_dwells, code_fft_conj,
                                 dopplers, fs: float,
                                 axis: str = CHANNEL_AXIS):
