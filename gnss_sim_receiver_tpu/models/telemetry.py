@@ -1031,6 +1031,10 @@ class SbasL1TelemetryDecoder:
         tow = np.full((t_len, n_ch), np.nan)
         for c in range(n_ch):
             st = self.ch[c]
+            # anchor BEFORE this batch's decodes: gating must be
+            # row-exact whatever the chunk sizes (same rule as the
+            # LNAV/INAV/GNAV decoders' anchor0)
+            anchor0 = st.anchor_epoch
             pi, base, v = _collect_column(st, prompts[:, c], valid[:, c])
             if len(pi) and not st.pend:
                 st.pend_base = base + int(np.argmax(v))
