@@ -49,8 +49,14 @@ class AcqConf:
     bit_transition_flag: bool = False
     # engine variant: "pcps" (plain), "fine_doppler" (iterative Doppler
     # zoom, pcps_acquisition_fine_doppler_cc), "tong" (Tong sequential
-    # detector, pcps_tong_acquisition_cc)
+    # detector, pcps_tong_acquisition_cc), "quicksync" (folded FFT),
+    # "cccwsr" (coherent data+pilot sign recovery,
+    # pcps_cccwsr_acquisition_cc), "8ms" (two-period sign-tolerant
+    # coherent, galileo_pcps_8ms_acquisition_cc), "iq_caf" (E5a
+    # noncoherent I/Q with CAF Doppler smoothing,
+    # galileo_e5a_noncoherent_iq_acquisition_caf_cc)
     variant: str = "pcps"
+    caf_bins: int = 0                # iq_caf: Doppler boxcar half-width
     fine_doppler_iters: int = 3      # zoom iterations (step /4 each)
     quicksync_fold: int = 4          # QuickSync folding factor
     tong_init: int = 1               # Tong counter init (tong_init_val)
@@ -138,7 +144,7 @@ class PcpsAcquisitionEngine:
     C/A."""
 
     def __init__(self, conf: AcqConf, prns, code_provider=None,
-                 sc_rate: float | None = None):
+                 sc_rate: float | None = None, code_provider2=None):
         self.conf = conf
         self.prns = list(int(p) for p in prns)
         fs = conf.fs_in
@@ -161,6 +167,21 @@ class PcpsAcquisitionEngine:
                 [codes, np.zeros_like(codes)], axis=-1)
         self.code_fft_conj = xfer.device_put_complex(
             np.conj(np.fft.fft(codes, axis=-1)).astype(np.complex64))
+        # second replica set: the CCCWSR (data+pilot) and E5a I/Q
+        # variants correlate against two code families per satellite
+        self.code2_fft_conj = None
+        if code_provider2 is not None and conf.variant in ("cccwsr",
+                                                           "iq_caf"):
+            codes2 = np.stack([
+                prn_codes.sample_code(
+                    np.asarray(code_provider2(p), np.float32),
+                    fs, sc_rate, self.n_coherent)
+                for p in self.prns])
+            if conf.bit_transition_flag:
+                codes2 = np.concatenate(
+                    [codes2, np.zeros_like(codes2)], axis=-1)
+            self.code2_fft_conj = xfer.device_put_complex(
+                np.conj(np.fft.fft(codes2, axis=-1)).astype(np.complex64))
         self.dopplers = jnp.asarray(pcps.doppler_grid(
             conf.doppler_max, conf.doppler_step, conf.doppler_center))
         n_cells = self.fft_size * len(self.dopplers)
@@ -172,6 +193,8 @@ class PcpsAcquisitionEngine:
     def n_samples_needed(self) -> int:
         if self.conf.variant == "tong":
             return self.fft_size * self.conf.tong_max_dwells
+        if self.conf.variant == "8ms":
+            return 2 * self.fft_size * self.conf.max_dwells
         return self.fft_size * self.conf.max_dwells
 
     def acquire(self, x: np.ndarray, samplestamp: int = 0) -> AcqResults:
@@ -181,6 +204,8 @@ class PcpsAcquisitionEngine:
             return self._acquire_tong(x, samplestamp)
         if self.conf.variant == "quicksync":
             return self._acquire_quicksync(x, samplestamp)
+        if self.conf.variant in ("cccwsr", "8ms", "iq_caf"):
+            return self._acquire_dual(x, samplestamp)
         m = self.conf.max_dwells
         n = self.fft_size
         if len(x) < m * n:
@@ -281,13 +306,18 @@ class PcpsAcquisitionEngine:
     def _coarse(self, x_dwells):
         grid = pcps.pcps_grid(x_dwells, self.code_fft_conj, self.dopplers,
                               float(self.conf.fs_in))
+        return self._stat_pack(grid, x_dwells.shape[0])
+
+    def _stat_pack(self, grid, n_dwells):
+        """Detection statistic + peak cell from a [C, D, N] grid, pulled
+        in one packed device->host transfer (remote-TPU latency
+        dominates)."""
         if self.conf.use_cfar_algorithm:
             stat, dop_idx, del_idx = pcps.max_to_input_power_stat(
-                grid, jnp.float32(x_dwells.shape[0]))
+                grid, jnp.float32(n_dwells))
         else:
             stat, dop_idx, del_idx = pcps.first_vs_second_peak_stat(
                 grid, self.samples_per_chip)
-        # one packed device->host transfer (remote-TPU latency dominates)
         buf = np.asarray(jnp.stack([stat.astype(jnp.float32),
                                     dop_idx.astype(jnp.float32),
                                     del_idx.astype(jnp.float32)]))
@@ -295,6 +325,64 @@ class PcpsAcquisitionEngine:
         del_idx = buf[2].astype(np.int64)
         doppler_hz = np.asarray(self.dopplers)[buf[1].astype(np.int64)]
         return stat, del_idx, doppler_hz
+
+    def _acquire_dual(self, x: np.ndarray, samplestamp: int) -> AcqResults:
+        """cccwsr / 8ms / iq_caf variant grids (two replica families or
+        two coherent periods), same statistic + threshold machinery as
+        the base engine."""
+        conf = self.conf
+        m = conf.max_dwells
+        n = self.fft_size * (2 if conf.variant == "8ms" else 1)
+        if len(x) < m * n:
+            raise ValueError(f"need {m * n} samples, got {len(x)}")
+        x_dwells = _dwell_view(x, m, n)
+        fs = float(conf.fs_in)
+        if conf.variant == "8ms":
+            grid = pcps.pcps_8ms_grid(x_dwells, self.code_fft_conj,
+                                      self.dopplers, fs)
+            # two coherent periods per dwell: the CFAR reference uses
+            # the per-correlation count
+            n_eff = 2 * m
+        elif conf.variant == "cccwsr":
+            data_fft = (self.code2_fft_conj
+                        if self.code2_fft_conj is not None
+                        else self.code_fft_conj)
+            grid = pcps.pcps_cccwsr_grid(x_dwells, data_fft,
+                                         self.code_fft_conj,
+                                         self.dopplers, fs)
+            n_eff = 2 * m
+        else:                                   # iq_caf
+            q_fft = (self.code2_fft_conj
+                     if self.code2_fft_conj is not None
+                     else self.code_fft_conj)
+            grid = pcps.pcps_e5a_noncoherent_iq_grid(
+                x_dwells, self.code_fft_conj, q_fft, self.dopplers, fs,
+                caf_bins=int(conf.caf_bins))
+            n_eff = 2 * m
+        stat, del_idx, doppler_hz = self._stat_pack(grid, n_eff)
+        delay = np.asarray(del_idx, dtype=np.float64)
+        if conf.bit_transition_flag:
+            delay = np.mod(delay, self.n_coherent)
+        if conf.variant == "8ms":
+            delay = np.mod(delay, self.n_coherent)
+        # variant-aware CFAR: every cell sums TWO correlations (dof 4m);
+        # the sign-recovery variants take a max over two hypotheses per
+        # cell — union-bound the per-cell Pfa at pfa/2
+        if conf.pfa > 0:
+            n_cells = grid.shape[-1] * len(self.dopplers)
+            pfa_c = conf.pfa / (2.0 if conf.variant in ("cccwsr", "8ms")
+                                else 1.0)
+            threshold = pcps.cfar_threshold(pfa_c, n_cells, n_eff)
+        else:
+            threshold = conf.threshold
+        return AcqResults(
+            detected=stat > threshold,
+            test_stat=stat,
+            delay_samples=delay,
+            doppler_hz=doppler_hz.astype(np.float64),
+            threshold=threshold,
+            samplestamp=int(samplestamp),
+        )
 
     def _narrow_grid_step(self, x_dwells, centers_hz, step_hz, n_side):
         """One batched narrow-grid pass: every channel searches its own

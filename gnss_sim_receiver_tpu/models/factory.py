@@ -50,10 +50,13 @@ _ACQ_IMPLS = {
            "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler",
            "GPS_L1_CA_PCPS_Tong_Acquisition",
            "GPS_L1_CA_PCPS_QuickSync_Acquisition"},
-    "1B": {"Galileo_E1_PCPS_Ambiguous_Acquisition"},
+    "1B": {"Galileo_E1_PCPS_Ambiguous_Acquisition",
+           "Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition",
+           "Galileo_E1_PCPS_8ms_Ambiguous_Acquisition"},
     "2S": {"GPS_L2_M_PCPS_Acquisition"},
     "L5": {"GPS_L5i_PCPS_Acquisition"},
-    "5X": {"Galileo_E5a_Pcps_Acquisition"},
+    "5X": {"Galileo_E5a_Pcps_Acquisition",
+           "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF"},
     "7X": {"Galileo_E5b_PCPS_Acquisition"},
     "1G": {"GLONASS_L1_CA_PCPS_Acquisition"},
     "2G": {"GLONASS_L2_CA_PCPS_Acquisition"},
@@ -172,7 +175,15 @@ def _acq_from_config(config: Configuration, sig: str,
     pfa = config.property(p + "pfa", base.pfa)
     variant = ("fine_doppler" if acq_impl.endswith("Fine_Doppler")
                else "tong" if "Tong" in acq_impl
-               else "quicksync" if "QuickSync" in acq_impl else "pcps")
+               else "quicksync" if "QuickSync" in acq_impl
+               else "cccwsr" if "CCCWSR" in acq_impl
+               else "8ms" if "_8ms_" in acq_impl
+               else "iq_caf" if "Noncoherent_IQ" in acq_impl else "pcps")
+    # E5a CAF Doppler smoothing window (total Hz -> boxcar half-width in
+    # bins; galileo_e5a_noncoherent_iq_acquisition_caf_cc CAF_window_hz)
+    caf_hz = float(config.property(p + "CAF_window_hz", 0.0))
+    dstep = float(config.property(p + "doppler_step", base.doppler_step))
+    caf_bins = int(caf_hz / (2.0 * dstep)) if caf_hz > 0 else 0
     return dataclasses.replace(
         base,
         doppler_max=float(config.property(p + "doppler_max",
@@ -196,6 +207,7 @@ def _acq_from_config(config: Configuration, sig: str,
         bit_transition_flag=config.property(p + "bit_transition_flag",
                                             base.bit_transition_flag),
         variant=variant,
+        caf_bins=caf_bins,
         tong_init=config.property(p + "tong_init_val", 1),
         tong_max=config.property(p + "tong_max_val", 2),
         tong_max_dwells=config.property(p + "tong_max_dwells", 10),
@@ -314,6 +326,21 @@ def chains_from_config(config: Configuration) -> list[SignalChainConf]:
             chain.max_acq_channels = min(in_acq, n)
         chain.acq = _acq_from_config(config, sig, chain.acq, acq_impl)
         chain.trk = _trk_from_config(config, sig, chain.trk, trk_impl)
+        if chain.acq.variant == "cccwsr" and sig == "1B" \
+                and chain.data_code_provider is None:
+            # data-only E1 chain (track_pilot=false): CCCWSR still needs
+            # the second (pilot E1C) replica family; the combining grid
+            # is symmetric in data/pilot so the slot order is free
+            from gnss_sim_receiver_tpu import signals as _sigs
+            chain.data_code_provider = \
+                lambda p: _sigs.boc11_expand(_sigs.galileo_e1_code(p, "C"))
+        if chain.acq.variant == "iq_caf" and sig == "5X" \
+                and chain.data_code_provider is None:
+            # the I/Q variant correlates the E5a-I (data) AND E5a-Q
+            # (pilot) primaries; the base chain only carries E5a-I
+            from gnss_sim_receiver_tpu import signals as _sigs
+            chain.data_code_provider = \
+                lambda p: _sigs.galileo_e5a_code(p, "Q")
         if use_acq_resampler and sig == "1C":
             # decimate acquisition toward GPS_L1_CA_OPT_ACQ_FS (2 Msps)
             dec = max(1, int(rf_fs // 2_000_000))

@@ -1206,7 +1206,8 @@ class ReceiverSession:
                         acq_eng = PcpsAcquisitionEngine(
                             spec.acq, prns=prns_search,
                             code_provider=spec.code_provider,
-                            sc_rate=spec.sc_rate)
+                            sc_rate=spec.sc_rate,
+                            code_provider2=spec.data_code_provider)
                         rt.acq_engines[prns_search] = acq_eng
                     need = acq_eng.n_samples_needed
                     acq_x, acq_base = self._acq_input(rt)

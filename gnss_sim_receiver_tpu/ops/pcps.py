@@ -211,6 +211,35 @@ def quicksync_resolve(x_dwell: jax.Array, codes_sampled: jax.Array,
 
 
 @partial(jax.jit, static_argnames=("fs",))
+def pcps_8ms_grid(x_dwells: jax.Array, code_fft_conj: jax.Array,
+                  dopplers: jax.Array, fs: float):
+    """Galileo E1 8 ms acquisition (galileo_pcps_8ms_acquisition_cc.cc):
+    each dwell spans TWO consecutive code periods; both halves are
+    correlated separately (carrier wiped over the full dwell so their
+    relative phase is preserved) and combined coherently under both
+    data-symbol sign hypotheses, max(|c1+c2|^2, |c1-c2|^2) — doubling
+    coherent gain without knowing the E1B symbol edge sign.
+
+    x_dwells: [M, 2N]; code_fft_conj: [C, N].  Returns [C, D, N]."""
+    m, n2 = x_dwells.shape
+    n = n2 // 2
+    t = jnp.arange(n2, dtype=jnp.float32) / jnp.float32(fs)
+    phase = -2.0 * jnp.pi * dopplers[:, None] * t[None, :]
+    carrier = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    wiped = x_dwells[:, None, :] * carrier[None, :, :]       # [M, D, 2N]
+    halves = wiped.reshape(m, -1, 2, n)                      # [M, D, 2, N]
+    spec = jnp.fft.fft(halves, axis=-1)
+    corr = jnp.fft.ifft(spec[:, None] * code_fft_conj[None, :, None,
+                                                      None, :],
+                        axis=-1)                             # [M,C,D,2,N]
+    c1 = corr[..., 0, :]
+    c2 = corr[..., 1, :]
+    plus = jnp.abs(c1 + c2) ** 2
+    minus = jnp.abs(c1 - c2) ** 2
+    return jnp.sum(jnp.maximum(plus, minus), axis=0)
+
+
+@partial(jax.jit, static_argnames=("fs",))
 def pcps_cccwsr_grid(x_dwells: jax.Array, code_data_fft_conj: jax.Array,
                      code_pilot_fft_conj: jax.Array,
                      dopplers: jax.Array, fs: float):

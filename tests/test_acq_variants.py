@@ -164,3 +164,147 @@ def test_quicksync_factory_string():
     rc = receiver_conf_from_config(c)
     assert rc.acq.variant == "quicksync"
     assert rc.acq.quicksync_fold == 2
+
+
+def _e1_capture(prn=11, dop=1750.0, delay_chips=1000.0, cn0=45.0,
+                dwells=2, fs=4_500_000.0, seed=31, pilot_sign=-1):
+    sats = [SatelliteSignalParams(
+                prn=prn, system="Galileo", signal="1B", cn0_db_hz=cn0,
+                doppler_hz=dop, delay_chips=delay_chips,
+                nav_bits=np.ones(50, np.int8)),
+            SatelliteSignalParams(
+                prn=prn, system="Galileo", signal="1P", cn0_db_hz=cn0,
+                doppler_hz=dop, delay_chips=delay_chips,
+                nav_bits=pilot_sign * np.ones(50, np.int8))]
+    n = int(fs * 4e-3)
+    x = generate_baseband(sats, fs, (2 * dwells + 1) * n, noise=True,
+                          seed=seed)
+    return np.asarray(x), n, fs
+
+
+def test_cccwsr_engine_variant_and_factory_string():
+    """CCCWSR reachable from the conf string
+    Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition (VERDICT r4 #8): the
+    engine correlates data+pilot with sign recovery and detects at the
+    base engine's CN0."""
+    from gnss_sim_receiver_tpu.models.acquisition import (
+        AcqConf, PcpsAcquisitionEngine)
+    from gnss_sim_receiver_tpu.models.factory import \
+        receiver_conf_from_config
+    from gnss_sim_receiver_tpu.utils.config import InMemoryConfiguration
+
+    x, n, fs = _e1_capture()
+    sig = signals.GALILEO_E1B
+    conf = AcqConf(fs_in=fs, doppler_max=5000.0, doppler_step=250.0,
+                   max_dwells=2, pfa=0.01, sampled_ms=4,
+                   variant="cccwsr")
+    eng = PcpsAcquisitionEngine(
+        conf, prns=[11, 19],
+        code_provider=lambda p: signals.boc11_expand(
+            signals.galileo_e1_code(p, "C")),
+        sc_rate=sig.sc_rate,
+        code_provider2=lambda p: signals.subchip_table(sig, p))
+    res = eng.acquire(x[: eng.n_samples_needed])
+    assert bool(res.detected[0]) and not bool(res.detected[1])
+    assert abs(res.doppler_hz[0] - 1750.0) <= 250.0
+    exp = 1000.0 * fs / sig.chip_rate_cps
+    assert abs(float(res.delay_samples[0]) - exp) <= 3.0
+
+    c = InMemoryConfiguration()
+    c.set_property("GNSS-SDR.internal_fs_sps", "4500000")
+    c.set_property("Channels_1B.count", "2")
+    c.set_property("Acquisition_1B.implementation",
+                   "Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition")
+    rc = receiver_conf_from_config(c)
+    (chain,) = rc.chains
+    assert chain.acq.variant == "cccwsr"
+    assert chain.data_code_provider is not None
+
+
+def test_8ms_engine_variant_and_factory_string():
+    """Two-period sign-tolerant coherent E1 acquisition
+    (Galileo_E1_PCPS_8ms_Ambiguous_Acquisition): detects across a data
+    symbol sign flip between the two 4 ms halves."""
+    from gnss_sim_receiver_tpu.models.acquisition import (
+        AcqConf, PcpsAcquisitionEngine)
+    from gnss_sim_receiver_tpu.models.factory import \
+        receiver_conf_from_config
+    from gnss_sim_receiver_tpu.utils.config import InMemoryConfiguration
+
+    sig = signals.GALILEO_E1B
+    fs = 4_500_000.0
+    # alternating symbols: every 4 ms half flips sign
+    sat = SatelliteSignalParams(
+        prn=13, system="Galileo", signal="1B", cn0_db_hz=44.0,
+        doppler_hz=-1250.0, delay_chips=2000.0,
+        nav_bits=np.array([1, -1] * 25, np.int8))
+    n = int(fs * 4e-3)
+    x = np.asarray(generate_baseband([sat], fs, 6 * n, noise=True,
+                                     seed=17))
+    conf = AcqConf(fs_in=fs, doppler_max=5000.0, doppler_step=250.0,
+                   max_dwells=2, pfa=0.01, sampled_ms=4, variant="8ms")
+    eng = PcpsAcquisitionEngine(
+        conf, prns=[13, 23],
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.sc_rate)
+    assert eng.n_samples_needed == 2 * eng.fft_size * 2
+    res = eng.acquire(x[: eng.n_samples_needed])
+    assert bool(res.detected[0]) and not bool(res.detected[1])
+    assert abs(res.doppler_hz[0] + 1250.0) <= 250.0
+    exp = 2000.0 * fs / sig.chip_rate_cps
+    assert abs(float(res.delay_samples[0]) - exp) <= 3.0
+
+    c = InMemoryConfiguration()
+    c.set_property("GNSS-SDR.internal_fs_sps", "4500000")
+    c.set_property("Channels_1B.count", "2")
+    c.set_property("Acquisition_1B.implementation",
+                   "Galileo_E1_PCPS_8ms_Ambiguous_Acquisition")
+    rc = receiver_conf_from_config(c)
+    (chain,) = rc.chains
+    assert chain.acq.variant == "8ms"
+
+
+def test_e5a_iq_caf_engine_variant_and_factory_string():
+    """E5a noncoherent I/Q + CAF reachable from
+    Galileo_E5a_Noncoherent_IQ_Acquisition_CAF with CAF_window_hz
+    mapped to Doppler-boxcar bins."""
+    from gnss_sim_receiver_tpu.models.acquisition import (
+        AcqConf, PcpsAcquisitionEngine)
+    from gnss_sim_receiver_tpu.models.factory import \
+        receiver_conf_from_config
+    from gnss_sim_receiver_tpu.utils.config import InMemoryConfiguration
+
+    sig = signals.GALILEO_E5A_I
+    fs = 12_000_000.0
+    sat = SatelliteSignalParams(
+        prn=4, system="Galileo", signal="5X", cn0_db_hz=46.0,
+        doppler_hz=2250.0, delay_chips=5000.0,
+        nav_bits=np.ones(50, np.int8))
+    n = int(fs * 1e-3)
+    x = np.asarray(generate_baseband([sat], fs, 4 * n, noise=True,
+                                     seed=23))
+    conf = AcqConf(fs_in=fs, doppler_max=5000.0, doppler_step=250.0,
+                   max_dwells=2, pfa=0.01, variant="iq_caf", caf_bins=1)
+    eng = PcpsAcquisitionEngine(
+        conf, prns=[4, 27],
+        code_provider=lambda p: signals.subchip_table(sig, p),
+        sc_rate=sig.chip_rate_cps,
+        code_provider2=lambda p: signals.galileo_e5a_code(p, "Q"))
+    res = eng.acquire(x[: eng.n_samples_needed])
+    assert bool(res.detected[0]) and not bool(res.detected[1])
+    assert abs(res.doppler_hz[0] - 2250.0) <= 500.0
+    exp = 5000.0 * fs / sig.chip_rate_cps
+    assert abs(float(res.delay_samples[0]) - exp) <= 3.0
+
+    c = InMemoryConfiguration()
+    c.set_property("GNSS-SDR.internal_fs_sps", "12000000")
+    c.set_property("Channels_5X.count", "2")
+    c.set_property("Acquisition_5X.implementation",
+                   "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF")
+    c.set_property("Acquisition_5X.CAF_window_hz", "1000")
+    c.set_property("Acquisition_5X.doppler_step", "250")
+    rc = receiver_conf_from_config(c)
+    (chain,) = rc.chains
+    assert chain.acq.variant == "iq_caf"
+    assert chain.acq.caf_bins == 2
+    assert chain.data_code_provider is not None

@@ -85,7 +85,7 @@ def test_unknown_impl_raises():
     with pytest.raises(NotImplementedError):
         receiver_conf_from_config(_conf(
             {"Acquisition_5X.implementation":
-             "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF"}))
+             "Galileo_E5a_Pcps_Acquisition_Fpga"}))
     with pytest.raises(NotImplementedError):
         receiver_conf_from_config(_conf(
             {"Tracking_1G.implementation":
