@@ -279,6 +279,27 @@ def main():
     dt_acq = (time.perf_counter() - t0) / acq_reps
     grids_s = n_channels / dt_acq
 
+    # kernel-shape autotune (volk_gnsssdr_profile role, VERDICT r4 #9):
+    # measure epochs-per-block candidates at the 12ch operating point,
+    # cache the winner (TrackingEngine adopts it for the full-chain run
+    # below), and report tuned-vs-default
+    tune = {}
+    try:
+        import io as _io
+
+        from gnss_sim_receiver_tpu.tools.profile_kernels import \
+            profile_block_kernel
+        res = profile_block_kernel(fs=fs, n_channels=n_channels,
+                                   candidates=(10, 20, 40, 80), reps=6,
+                                   span_s=0.8, out=_io.StringIO())
+        best = max(res, key=res.get)
+        tune = {"autotune_e_block": {
+            "default": 20, "default_msamples_s": res.get(20),
+            "best": best, "best_msamples_s": res[best],
+            "all": res}}
+    except Exception as e:   # pragma: no cover
+        tune = {"autotune_error": repr(e)}
+
     # full receiver end-to-end (device-generated scenario); failures keep
     # the scan metrics flowing
     full = {}
@@ -316,6 +337,7 @@ def main():
             "device->host pull; they are the first honest ones and are "
             "NOT comparable to prev_rounds."),
     }
+    out.update(tune)
     out.update(full)
     # per-round deltas: surface the previous rounds' headline numbers so a
     # regression is visible the moment it is introduced (VERDICT r3 #2)

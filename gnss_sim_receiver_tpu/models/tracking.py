@@ -1023,8 +1023,17 @@ class TrackingEngine:
 
     @property
     def block_epochs(self) -> int:
-        """Epochs per block for the block kernel: ~20 ms of signal (the
-        reference's extended-integration cadence)."""
+        """Epochs per block for the block kernel: the autotuned value
+        for this (fs, code, epoch) operating point when the machine was
+        profiled (tools.profile_kernels, the volk_gnsssdr_profile role),
+        else ~20 ms of signal (the reference's extended-integration
+        cadence)."""
+        from gnss_sim_receiver_tpu.utils import autotune
+        tuned = autotune.lookup(autotune.key_e_block(
+            self.conf.fs, self.conf.code_length_chips,
+            self.conf.t_epoch_nominal_s))
+        if tuned:
+            return max(2, int(tuned))
         return max(2, int(round(0.02 / self.conf.t_epoch_nominal_s)))
 
     def block_mode_ok(self, n_epochs: int) -> bool:
