@@ -20,6 +20,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 from gnss_sim_receiver_tpu import constants
 from gnss_sim_receiver_tpu.models.acquisition import AcqConf
 from gnss_sim_receiver_tpu.models.observables import ObsConf
@@ -371,6 +373,13 @@ def pvt_conf_from_config(config: Configuration) -> PvtConf:
         trop_model=config.property("PVT.trop_model", "OFF"),
         raim_fde=config.property("PVT.raim_fde", False),
         raim_threshold_m=config.property("PVT.raim_threshold_m", 30.0),
+        # fork receiver-antenna attitude (rtklib_pvt.cc:92-94)
+        antenna_attitude_fix=config.property(
+            "ReceiverAntennaAttitude.fix", True),
+        antenna_az_rad=np.radians(config.property(
+            "ReceiverAntennaAttitude.az_deg", 0.0)),
+        antenna_el_rad=np.radians(config.property(
+            "ReceiverAntennaAttitude.el_deg", 90.0)),
     )
 
 
@@ -440,6 +449,7 @@ def receiver_conf_from_config(config: Configuration) -> ReceiverConf:
         # fork hybrid/pseudolite + rx clock keys (rtklib_pvt.cc:910-917,
         # conf/gnss-sdr_GPS_L1_bladeRF2_micro_hybrid_nav.conf)
         hybrid_mode=config.property("GNSS-SDR.hybrid_mode", False),
+        pre_2009_file=config.property("GNSS-SDR.pre_2009_file", False),
         ps_channel=config.property("GNSS-SDR.pseudo_sat_ch_id", -1),
         enable_rx_clock_propagation=config.property(
             "PVT.enable_rx_clock_propagation", False),

@@ -41,6 +41,13 @@ class PvtConf:
     raim_fde: bool = False
     raim_threshold_m: float = 30.0
     raim_max_exclusions: int = 2
+    # receiver antenna attitude (fork feature, rtklib_pvt.cc:92-94 ->
+    # rtklib satazel/enu2ant): the elevation mask is evaluated in the
+    # ANTENNA frame whose boresight points (az, el); the default
+    # (0, 90 deg) is exactly the geographic elevation
+    antenna_attitude_fix: bool = True
+    antenna_az_rad: float = 0.0
+    antenna_el_rad: float = np.pi / 2.0
 
 
 @dataclasses.dataclass
@@ -198,8 +205,19 @@ def solve_pvt(obs, prns, ephemerides: dict, conf: PvtConf = PvtConf(),
         if np.linalg.norm(dx[:3]) < 1e-4:
             break
         if it == 2:  # apply elevation mask once roughly converged
+            # antenna-frame elevation (rtklib_pntpos.cc:469 satazel with
+            # rec_ant_dir): the default boresight reduces to geographic el
+            use_ant = (conf.antenna_attitude_fix
+                       and (conf.antenna_az_rad != 0.0
+                            or abs(conf.antenna_el_rad
+                                   - np.pi / 2.0) > 1e-12))
             for k in range(len(idx)):
-                el, _ = geodesy.elevation_azimuth(x[:3], sat_pos[k])
+                if use_ant:
+                    el, _ = geodesy.antenna_elevation_azimuth(
+                        x[:3], sat_pos[k], conf.antenna_az_rad,
+                        conf.antenna_el_rad)
+                else:
+                    el, _ = geodesy.elevation_azimuth(x[:3], sat_pos[k])
                 el_mask_applied[k] = np.degrees(el) >= conf.elevation_mask_deg
 
     sel = el_mask_applied

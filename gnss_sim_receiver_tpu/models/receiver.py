@@ -467,6 +467,10 @@ class ReceiverConf:
     # pseudolite tracker whose observable feeds AOWR time transfer instead
     # of the position solution
     hybrid_mode: bool = False
+    # GNSS-SDR.pre_2009_file (control_thread.cc:161): resolve the LNAV
+    # 10-bit week into the 1999-2019 rollover era instead of aligning to
+    # the current receiver date (old captures would otherwise mis-date)
+    pre_2009_file: bool = False
     ps_channel: int = -1
     ps_range_m: float = 0.4           # known rx<->pseudolite range
     # rx clock handling (fork: rtklib_pvt.cc:910-917)
@@ -831,6 +835,17 @@ class ReceiverSession:
         if m is not None and m.ephemeris is not None \
                 and rt.spec.system == "GPS":
             m.ephemeris.send_ephemeris(eph)
+
+    def _store_eph(self, rt, eph) -> None:
+        """Adopt a freshly decoded ephemeris: resolve the GPS 10-bit
+        week (adjgpsweek + GNSS-SDR.pre_2009_file role), store, stream
+        to the ephemeris monitor."""
+        if rt.spec.system == "GPS" and 0 <= eph.week <= 1023:
+            from gnss_sim_receiver_tpu.nav.ephemeris import adj_gps_week
+            eph = dataclasses.replace(eph, week=adj_gps_week(
+                eph.week, self.conf.pre_2009_file))
+        self.ephemerides[rt.eph_key(eph.prn)] = eph
+        self._monitor_eph(rt, eph)
 
     def attach_monitors(self, monitors) -> None:
         """Stream live monitor taps during the run (reference
@@ -1425,8 +1440,7 @@ class ReceiverSession:
                 tlm_res = rt.tlm.process({"prompt": outs["prompt"],
                                           "valid": outs["valid_full"]})
                 for c, eph in tlm_res.new_ephemerides:
-                    self.ephemerides[rt.eph_key(eph.prn)] = eph
-                    self._monitor_eph(rt, eph)
+                    self._store_eph(rt, eph)
                 quiet = self._handle_lock_loss(rt, tracking) and quiet
                 continue
             if rows is not None:
@@ -1459,8 +1473,7 @@ class ReceiverSession:
                 ov = outs["valid"] & ~gate
                 outs = dict(outs, valid=ov, valid_ungated=outs["valid"])
             for c, eph in tlm_res.new_ephemerides:
-                self.ephemerides[rt.eph_key(eph.prn)] = eph
-                self._monitor_eph(rt, eph)
+                self._store_eph(rt, eph)
             if (self.tow_map is not None and rt.spec.system == "Galileo"
                     and rt.spec.signal != "E6"):
                 # publish per-PRN TOW for the E6 channels (decimated rows

@@ -413,3 +413,23 @@ def make_test_constellation(n_sats: int = 8, toe: float = 7200.0,
             cuc=2e-6, cus=7e-6, crc=200.0, crs=30.0, cic=1e-7, cis=-1e-7,
         ))
     return out
+
+
+def adj_gps_week(week: int, pre_2009_file: bool = False,
+                 now_week: int | None = None) -> int:
+    """Resolve the LNAV 10-bit week ambiguity (rtklib_rtkcmn.cc:2117
+    adjgpsweek, driven by GNSS-SDR.pre_2009_file,
+    control_thread.cc:161): full weeks pass through; pre-2009 captures
+    add one 1024-week rollover; otherwise align to the current (or
+    supplied) receiver week."""
+    week = int(week)
+    if week > 1023:
+        return week
+    if pre_2009_file:
+        return week + 1024
+    if now_week is None:
+        import time as _time
+        # days since the GPS epoch 1980-01-06
+        now_week = int((_time.time() - 315964800.0) // 604800)
+    now_week = max(now_week, 1560)       # not earlier than 2009-12-01
+    return week + (now_week - week + 512) // 1024 * 1024

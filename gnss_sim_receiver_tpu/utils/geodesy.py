@@ -52,3 +52,33 @@ def elevation_azimuth(rx_ecef, sat_ecef) -> tuple[float, float]:
     enu = ecef_to_enu(np.asarray(sat_ecef) - np.asarray(rx_ecef), (lat, lon))
     horiz = np.hypot(enu[0], enu[1])
     return float(np.arctan2(enu[2], horiz)), float(np.arctan2(enu[0], enu[1]))
+
+
+def antenna_elevation_azimuth(rx_ecef, sat_ecef, boresight_az_rad: float,
+                              boresight_el_rad: float) -> tuple:
+    """Satellite elevation/azimuth in the RECEIVER-ANTENNA frame (fork
+    feature: rtklib_rtkcmn.cc satazel/enu2ant/mat_enu2ant with
+    nav->rec_ant_dir from the ReceiverAntennaAttitude.* conf keys).
+
+    With the default boresight (az=0, el=90 deg) this reduces exactly to
+    the geographic elevation_azimuth; tilting the boresight turns the
+    elevation mask into an antenna field-of-view mask (the fork's
+    lunar/orbital receivers do not point their antennas up)."""
+    lat, lon, _ = ecef_to_llh(rx_ecef)
+    enu = ecef_to_enu(np.asarray(sat_ecef) - np.asarray(rx_ecef),
+                      (lat, lon))
+    n = np.linalg.norm(enu)
+    if n > 0:
+        enu = enu / n
+    sa, ca = np.sin(boresight_az_rad), np.cos(boresight_az_rad)
+    se, ce = np.sin(boresight_el_rad), np.cos(boresight_el_rad)
+    # mat_enu2ant rows (col-major E in the reference):
+    e_ant = np.array([
+        se * ca * enu[0] + se * sa * enu[1] - ce * enu[2],
+        -sa * enu[0] + ca * enu[1],
+        ce * ca * enu[0] + ce * sa * enu[1] + se * enu[2]])
+    az = 0.0 if (e_ant[0] ** 2 + e_ant[1] ** 2) < 1e-12 \
+        else float(np.arctan2(e_ant[0], e_ant[1]))
+    if az < 0.0:
+        az += 2.0 * np.pi
+    return float(np.arcsin(np.clip(e_ant[2], -1.0, 1.0))), az

@@ -131,3 +131,86 @@ def test_raim_fde_excludes_faulty_satellite():
     assert err_raim < 5.0, err_raim
     assert err_raim < 0.5 * err_plain
     assert raim.n_sats == plain.n_sats - 1
+
+
+def test_antenna_attitude_masks_in_antenna_frame():
+    """ReceiverAntennaAttitude.* (fork, rtklib_pvt.cc:92-94): tilting
+    the boresight turns the elevation mask into an antenna-FOV mask —
+    satellites outside the tilted FOV are excluded from the solve."""
+    import numpy as np
+
+    from gnss_sim_receiver_tpu.models.factory import pvt_conf_from_config
+    from gnss_sim_receiver_tpu.models.pvt import PvtConf
+    from gnss_sim_receiver_tpu.utils import geodesy
+    from gnss_sim_receiver_tpu.utils.config import InMemoryConfiguration
+
+    rx = geodesy.llh_to_ecef(np.radians(40.0), np.radians(-75.0), 100.0)
+    # default boresight == geographic elevation, bit for bit
+    sat = rx * 1.2 + np.array([1e6, 2e6, 3e6])
+    el_g, az_g = geodesy.elevation_azimuth(rx, sat)
+    el_a, az_a = geodesy.antenna_elevation_azimuth(rx, sat, 0.0,
+                                                   np.pi / 2.0)
+    assert abs(el_a - el_g) < 1e-9 and abs(az_a - az_g % (2 * np.pi)) \
+        < 1e-9
+    # boresight tilted 90 deg toward north: a zenith satellite sits at
+    # antenna elevation ~0; a northern horizon satellite near boresight
+    up = rx / np.linalg.norm(rx)
+    sat_zen = rx + up * 2e7
+    el_tilt, _ = geodesy.antenna_elevation_azimuth(
+        rx, sat_zen, 0.0, 0.0)         # boresight at horizon, az=north
+    assert abs(np.degrees(el_tilt)) < 1.0
+
+    c = InMemoryConfiguration({
+        "ReceiverAntennaAttitude.fix": "true",
+        "ReceiverAntennaAttitude.az_deg": "45",
+        "ReceiverAntennaAttitude.el_deg": "30"})
+    conf = pvt_conf_from_config(c)
+    assert abs(conf.antenna_az_rad - np.radians(45.0)) < 1e-12
+    assert abs(conf.antenna_el_rad - np.radians(30.0)) < 1e-12
+    assert pvt_conf_from_config(
+        InMemoryConfiguration({})).antenna_el_rad == np.pi / 2.0
+
+
+def test_antenna_attitude_excludes_out_of_fov_sats():
+    """solve_pvt with a tilted boresight drops satellites behind the
+    antenna while the default keeps them."""
+    import numpy as np
+
+    from gnss_sim_receiver_tpu.models.pvt import PvtConf, solve_pvt
+    from tests.test_ppp import T0, _epoch
+    from gnss_sim_receiver_tpu.nav.ephemeris import make_sky_constellation
+    from gnss_sim_receiver_tpu.utils import geodesy
+
+    rng = np.random.default_rng(5)
+    rx = geodesy.llh_to_ecef(np.radians(40.0), np.radians(-75.0), 100.0)
+    ephs = [e for e in make_sky_constellation(40.0, -75.0, toe=T0 + 600)
+            if e.prn in (1, 3, 4, 5, 9, 10)]
+    prns = [e.prn for e in ephs]
+    eph_map = {e.prn: e for e in ephs}
+    ep = _epoch(ephs, T0 + 10.0, rx, 1e-4, np.zeros(len(ephs)), rng)
+    base = solve_pvt(ep, prns, eph_map, PvtConf())
+    assert base.valid
+    # tilt boresight to the horizon with a high elevation mask: only the
+    # satellites inside the tilted FOV remain
+    tilted = solve_pvt(ep, prns, eph_map, PvtConf(
+        elevation_mask_deg=40.0, antenna_az_rad=0.0,
+        antenna_el_rad=0.0))
+    assert (not tilted.valid) or tilted.n_sats < base.n_sats
+
+
+def test_pre_2009_week_rollover_key():
+    from gnss_sim_receiver_tpu.models.factory import \
+        receiver_conf_from_config
+    from gnss_sim_receiver_tpu.nav.ephemeris import adj_gps_week
+    from gnss_sim_receiver_tpu.utils.config import InMemoryConfiguration
+
+    # 10-bit week 152 in 2026 -> 2200; pre-2009 capture -> 1176
+    assert adj_gps_week(152, now_week=2380) == 2200
+    assert adj_gps_week(152, pre_2009_file=True) == 152 + 1024
+    assert adj_gps_week(2200) == 2200            # full weeks pass through
+    assert adj_gps_week(900, now_week=1600) == 900 + 1024
+
+    c = InMemoryConfiguration({"GNSS-SDR.pre_2009_file": "true"})
+    assert receiver_conf_from_config(c).pre_2009_file is True
+    assert receiver_conf_from_config(
+        InMemoryConfiguration({})).pre_2009_file is False
